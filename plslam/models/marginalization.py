@@ -1,0 +1,215 @@
+"""Schur-complement marginalization with First-Estimate-Jacobian prior.
+
+TPU-native equivalent of the reference's
+`vins_estimator/src/factor/marginalization_factor.cpp/.h`
+(`MarginalizationInfo::preMarginalize/marginalize`, `MarginalizationFactor`)
+— SURVEY.md §2.3 / §A.5. The reference assembled H = ΣJᵀJ on 4 pthreads,
+Schur-complemented the drop block with an eigen-decomposition pseudo-inverse,
+and re-factored into a linear prior (J₀, r₀, x₀). Here:
+
+  * assembly is one `jacfwd` + matmul over the marginal factor subset
+    (factors touching frame 0: the previous prior, IMU 0→1, and all point/line
+    factors of features first observed in frame 0),
+  * the landmark block is eliminated blockwise (scalar depths, 4×4 lines) with
+    per-block pseudo-inverses,
+  * the frame-0 pose+speedbias block (15 dims) is eliminated with an `eigh`
+    pseudo-inverse (eigenvalue floor `eig_eps`, as the reference),
+  * the kept system is re-factored H' = (√Λ Vᵀ)ᵀ(√Λ Vᵀ) → J₀ = √Λ Vᵀ,
+    r₀ = Λ^{-1/2} Vᵀ b', and finally re-indexed by the window shift so the
+    prior lines up with the slid state arrays.
+
+x₀ (the FEJ linearisation point) is the pre-slide state, shifted the same way.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plslam.config import SolverConfig
+from plslam.models import residuals as res
+from plslam.models.state import TangentLayout, WindowState, retract
+
+
+class Prior(NamedTuple):
+    J: jnp.ndarray  # [DC,DC]
+    r0: jnp.ndarray  # [DC]
+    valid: jnp.ndarray  # [] 0/1
+    # snapshot (camera-side FEJ point)
+    p: jnp.ndarray
+    q: jnp.ndarray
+    v: jnp.ndarray
+    ba: jnp.ndarray
+    bg: jnp.ndarray
+    p_bc: jnp.ndarray
+    q_bc: jnp.ndarray
+    td: jnp.ndarray
+
+
+def _drop0_indices(lay: TangentLayout):
+    drop = np.concatenate([np.arange(0, 6), np.arange(lay.off_sb, lay.off_sb + 9)])
+    keep = np.setdiff1d(np.arange(lay.dim_cam), drop)
+    return jnp.asarray(drop), jnp.asarray(keep)
+
+
+def _shift_perm(lay: TangentLayout):
+    """new-dim -> old-dim gather map implementing the window shift
+    (frames 1..NW-1 → 0..NW-2; new last frame maps to the zeroed frame-0 slots)."""
+    nw = lay.nw
+    perm = np.arange(lay.dim_cam)
+    pose = perm[lay.off_pose : lay.off_sb].reshape(nw, 6)
+    perm[lay.off_pose : lay.off_sb] = np.concatenate([pose[1:], pose[:1]]).reshape(-1)
+    sb = np.arange(lay.off_sb, lay.off_ext).reshape(nw, 9)
+    perm[lay.off_sb : lay.off_ext] = np.concatenate([sb[1:], sb[:1]]).reshape(-1)
+    return jnp.asarray(perm)
+
+
+def _pinv_psd(M, eps):
+    w, V = jnp.linalg.eigh(0.5 * (M + M.T))
+    w_inv = jnp.where(w > eps, 1.0 / jnp.maximum(w, eps), 0.0)
+    return (V * w_inv[None, :]) @ V.T
+
+
+def _sqrt_refactor(H, b, eps):
+    w, V = jnp.linalg.eigh(0.5 * (H + H.T))
+    ok = w > eps
+    s = jnp.where(ok, jnp.sqrt(jnp.maximum(w, eps)), 0.0)
+    s_inv = jnp.where(ok, 1.0 / jnp.maximum(s, jnp.sqrt(eps)), 0.0)
+    J0 = s[:, None] * V.T
+    r0 = s_inv[:, None] * V.T @ b
+    r0 = r0[:, 0] if r0.ndim == 2 else r0
+    return J0, r0
+
+
+def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w):
+    """Residuals of only the factors entering MARGIN_OLD (SURVEY.md §3.3):
+    previous prior + IMU(0→1) + all factors of features/lines seen in frame 0."""
+    f_m = f._replace(
+        imu_valid=f.imu_valid * jnp.arange(f.imu_valid.shape[0] == 0 or f.imu_valid.shape[0]).astype(f.imu_valid.dtype).at[:].set(
+            jnp.where(jnp.arange(f.imu_valid.shape[0]) == 0, 1.0, 0.0)
+        ),
+        pt_valid=f.pt_valid * (f.pt_start == 0).astype(f.pt_valid.dtype),
+        ln_valid=f.ln_valid * f.ln_mask[:, 0],
+    )
+    return res.residual_stack(state, f_m, lay, focal, pt_w, ln_w)
+
+
+def _eliminate_landmarks(H, b, lay: TangentLayout, eps):
+    DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
+    Hcc = H[:DC, :DC]
+    Bd = H[:DC, DC : DC + MF]
+    Bl = H[:DC, DC + MF :].reshape(DC, ML, 4)
+    b_c = b[:DC]
+    b_d = b[DC : DC + MF]
+    b_l = b[DC + MF :].reshape(ML, 4)
+
+    d = jnp.diag(H)[DC : DC + MF]
+    d_inv = jnp.where(d > eps, 1.0 / jnp.maximum(d, eps), 0.0)
+    C_l = H[DC + MF :, DC + MF :]
+    idx = jnp.arange(ML)
+    Cb = C_l.reshape(ML, 4, ML, 4)[idx, :, idx, :]
+    Cb_inv = jax.vmap(lambda M: _pinv_psd(M, eps))(Cb)
+
+    BCd = Bd * d_inv[None, :]
+    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
+    H_c = Hcc - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
+    b_cc = b_c - BCd @ b_d - jnp.einsum("dmb,mb->d", BCl, b_l)
+    return H_c, b_cc
+
+
+@partial(jax.jit, static_argnames=("lay", "cfg"))
+def marginalize_old(
+    state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig
+) -> Prior:
+    """MARGIN_OLD: absorb frame 0 (pose+speedbias) and its landmarks into a
+    new linear prior, already re-indexed for the subsequent window shift."""
+    focal, eps = cfg.focal_length, cfg.eig_eps
+    pt_w, ln_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
+    zero = jnp.zeros((lay.dim,), state.p.dtype)
+
+    def r_fn(delta):
+        return _marg_residual_stack(retract(state, delta, lay), f, lay, focal, pt_w, ln_w)
+
+    r0 = r_fn(zero)
+    J = jax.jacfwd(r_fn)(zero)
+    H = J.T @ J
+    b = J.T @ r0
+
+    # 1) eliminate all landmark dims (uninvolved blocks are zero → pinv drops them)
+    H_c, b_c = _eliminate_landmarks(H, b, lay, eps)
+
+    # 2) eliminate frame-0 pose+speedbias (15 dims) with eigh pseudo-inverse
+    drop, keep = _drop0_indices(lay)
+    H_dd = H_c[drop][:, drop]
+    H_dk = H_c[drop][:, keep]
+    H_kk = H_c[keep][:, keep]
+    b_d = b_c[drop]
+    b_k = b_c[keep]
+    H_dd_inv = _pinv_psd(H_dd, eps)
+    H_new_k = H_kk - H_dk.T @ H_dd_inv @ H_dk
+    b_new_k = b_k - H_dk.T @ H_dd_inv @ b_d
+
+    # 3) scatter back to DC dims (frame-0 slots zero) and apply the shift perm
+    DC = lay.dim_cam
+    H_full = jnp.zeros((DC, DC), H.dtype).at[jnp.ix_(keep, keep)].set(H_new_k)
+    b_full = jnp.zeros((DC,), H.dtype).at[keep].set(b_new_k)
+    perm = _shift_perm(lay)
+    H_full = H_full[perm][:, perm]
+    b_full = b_full[perm]
+
+    # 4) √-refactor into (J0, r0)
+    J0, r0p = _sqrt_refactor(H_full, b_full, eps)
+
+    # 5) snapshot = current state shifted like the window will be
+    roll = lambda a: jnp.concatenate([a[1:], a[:1]], axis=0)
+    return Prior(
+        J=J0, r0=r0p, valid=jnp.ones((), H.dtype),
+        p=roll(state.p), q=roll(state.q), v=roll(state.v),
+        ba=roll(state.ba), bg=roll(state.bg),
+        p_bc=state.p_bc, q_bc=state.q_bc, td=state.td,
+    )
+
+
+@partial(jax.jit, static_argnames=("lay", "cfg"))
+def marginalize_second_new(
+    state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig
+) -> Prior:
+    """MARGIN_SECOND_NEW: drop the second-newest pose from the existing prior
+    (its visual terms are simply discarded; its preintegration is merged by
+    the caller — the reference's `slideWindowNew` path). Speed/bias columns
+    alias to the merged frame exactly as the reference's address relabelling."""
+    eps = cfg.eig_eps
+    nw = lay.nw
+    H = f.prior_J.T @ f.prior_J
+    b = f.prior_J.T @ f.prior_r0
+
+    drop = jnp.arange((nw - 2) * 6, (nw - 1) * 6)  # pose slot NW-2
+    keep = jnp.asarray(
+        np.setdiff1d(np.arange(lay.dim_cam), np.arange((lay.nw - 2) * 6, (lay.nw - 1) * 6))
+    )
+    H_dd_inv = _pinv_psd(H[drop][:, drop], eps)
+    H_dk = H[drop][:, keep]
+    H_kk = H[keep][:, keep] - H_dk.T @ H_dd_inv @ H_dk
+    b_kk = b[keep] - H_dk.T @ H_dd_inv @ b[drop]
+
+    DC = lay.dim_cam
+    H_full = jnp.zeros((DC, DC), H.dtype).at[jnp.ix_(keep, keep)].set(H_kk)
+    b_full = jnp.zeros((DC,), H.dtype).at[keep].set(b_kk)
+    J0, r0p = _sqrt_refactor(H_full, b_full, eps)
+    return Prior(
+        J=J0, r0=r0p, valid=f.prior_valid,
+        p=f.prior_p, q=f.prior_q, v=f.prior_v, ba=f.prior_ba, bg=f.prior_bg,
+        p_bc=f.prior_p_bc, q_bc=f.prior_q_bc, td=f.prior_td,
+    )
+
+
+def install_prior(f: res.WindowFactors, prior: Prior) -> res.WindowFactors:
+    return f._replace(
+        prior_J=prior.J, prior_r0=prior.r0, prior_valid=prior.valid,
+        prior_p=prior.p, prior_q=prior.q, prior_v=prior.v,
+        prior_ba=prior.ba, prior_bg=prior.bg,
+        prior_p_bc=prior.p_bc, prior_q_bc=prior.q_bc, prior_td=prior.td,
+    )

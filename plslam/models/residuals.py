@@ -1,0 +1,234 @@
+"""Stacked whitened residuals for the sliding-window visual-inertial BA.
+
+TPU-native equivalent of the reference's Ceres cost functions
+(`factor/imu_factor.h`, `factor/projection_factor.cpp`,
+`factor/projection_td_factor.cpp`, `factor/line_projection_factor.cpp`,
+`factor/marginalization_factor.cpp::MarginalizationFactor` — SURVEY.md §2.3,
+§A.2–A.5). Where Ceres evaluated one cost function per residual block on the
+CPU, here *all* factors evaluate as one fused masked batch: every
+(feature × frame) slot computes unconditionally and a 0/1 mask zeroes inactive
+slots — fixed shapes, no recompilation, VPU-friendly.
+
+Jacobians come from one `jax.jacfwd` of this stack through the manifold
+retraction (replacing all hand-written analytic jacobians; unit tests pin the
+values against finite differences).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plslam.models.state import TangentLayout, WindowState, box_minus_cam, cam_poses
+from plslam.ops import imu as imu_ops
+from plslam.ops.lines import line_projection_residual, plucker_transform
+from plslam.utils.geometry import pose_inverse, quat_rotate, quat_to_rot
+
+
+class WindowFactors(NamedTuple):
+    """All measurements bound to the current window (fixed shapes)."""
+
+    # --- IMU preintegrations between consecutive frames (W = window_size) ---
+    imu_alpha: jnp.ndarray  # [W,3]
+    imu_beta: jnp.ndarray  # [W,3]
+    imu_gamma: jnp.ndarray  # [W,4]
+    imu_jac: jnp.ndarray  # [W,15,15]
+    imu_sqrt_info: jnp.ndarray  # [W,15,15]
+    imu_dt: jnp.ndarray  # [W]
+    imu_ba: jnp.ndarray  # [W,3] linearization biases
+    imu_bg: jnp.ndarray  # [W,3]
+    imu_valid: jnp.ndarray  # [W] float 0/1
+    g: jnp.ndarray  # [3] gravity (+z·9.81)
+    # --- point features ---
+    pt_obs: jnp.ndarray  # [MAX_F,NW,2] normalized coords
+    pt_vel: jnp.ndarray  # [MAX_F,NW,2] normalized-coord velocity (for td)
+    pt_mask: jnp.ndarray  # [MAX_F,NW] float 0/1 observed
+    pt_start: jnp.ndarray  # [MAX_F] int32 first observing frame
+    pt_valid: jnp.ndarray  # [MAX_F] float 0/1 active+triangulated
+    # --- line features ---
+    ln_obs: jnp.ndarray  # [MAX_L,NW,4] normalized (sx,sy,ex,ey)
+    ln_mask: jnp.ndarray  # [MAX_L,NW] float 0/1
+    ln_valid: jnp.ndarray  # [MAX_L] float 0/1
+    # --- marginalization prior (camera-side dims DC) ---
+    prior_J: jnp.ndarray  # [DC,DC]
+    prior_r0: jnp.ndarray  # [DC]
+    prior_valid: jnp.ndarray  # [] float 0/1
+    prior_p: jnp.ndarray  # [NW,3] FEJ snapshot (camera-side state only)
+    prior_q: jnp.ndarray  # [NW,4]
+    prior_v: jnp.ndarray  # [NW,3]
+    prior_ba: jnp.ndarray  # [NW,3]
+    prior_bg: jnp.ndarray  # [NW,3]
+    prior_p_bc: jnp.ndarray  # [3]
+    prior_q_bc: jnp.ndarray  # [4]
+    prior_td: jnp.ndarray  # []
+
+
+def empty_factors(cfg, lay: TangentLayout, dtype=jnp.float32) -> WindowFactors:
+    W, NW, MF, ML, DC = lay.nw - 1, lay.nw, lay.max_f, lay.max_l, lay.dim_cam
+    q0 = jnp.zeros((NW, 4), dtype).at[:, 0].set(1.0)
+    return WindowFactors(
+        imu_alpha=jnp.zeros((W, 3), dtype),
+        imu_beta=jnp.zeros((W, 3), dtype),
+        imu_gamma=jnp.zeros((W, 4), dtype).at[:, 0].set(1.0),
+        imu_jac=jnp.broadcast_to(jnp.eye(15, dtype=dtype), (W, 15, 15)),
+        imu_sqrt_info=jnp.broadcast_to(jnp.eye(15, dtype=dtype), (W, 15, 15)),
+        imu_dt=jnp.zeros((W,), dtype),
+        imu_ba=jnp.zeros((W, 3), dtype),
+        imu_bg=jnp.zeros((W, 3), dtype),
+        imu_valid=jnp.zeros((W,), dtype),
+        g=jnp.asarray([0.0, 0.0, 9.81007], dtype),
+        pt_obs=jnp.zeros((MF, NW, 2), dtype),
+        pt_vel=jnp.zeros((MF, NW, 2), dtype),
+        pt_mask=jnp.zeros((MF, NW), dtype),
+        pt_start=jnp.zeros((MF,), jnp.int32),
+        pt_valid=jnp.zeros((MF,), dtype),
+        ln_obs=jnp.zeros((ML, NW, 4), dtype),
+        ln_mask=jnp.zeros((ML, NW), dtype),
+        ln_valid=jnp.zeros((ML,), dtype),
+        prior_J=jnp.zeros((DC, DC), dtype),
+        prior_r0=jnp.zeros((DC,), dtype),
+        prior_valid=jnp.zeros((), dtype),
+        prior_p=jnp.zeros((NW, 3), dtype),
+        prior_q=q0,
+        prior_v=jnp.zeros((NW, 3), dtype),
+        prior_ba=jnp.zeros((NW, 3), dtype),
+        prior_bg=jnp.zeros((NW, 3), dtype),
+        prior_p_bc=jnp.zeros(3, dtype),
+        prior_q_bc=jnp.asarray([1.0, 0, 0, 0], dtype),
+        prior_td=jnp.zeros((), dtype),
+    )
+
+
+def _prior_state(f: WindowFactors, state: WindowState) -> WindowState:
+    return state._replace(
+        p=f.prior_p, q=f.prior_q, v=f.prior_v, ba=f.prior_ba, bg=f.prior_bg,
+        p_bc=f.prior_p_bc, q_bc=f.prior_q_bc, td=f.prior_td,
+    )
+
+
+def imu_residuals(state: WindowState, f: WindowFactors) -> jnp.ndarray:
+    """[W,15] whitened IMU residuals (`IMUFactor::Evaluate`)."""
+
+    def one(k):
+        pre = imu_ops.Preintegration(
+            alpha=f.imu_alpha[k], beta=f.imu_beta[k], gamma=f.imu_gamma[k],
+            jac=f.imu_jac[k], cov=jnp.zeros((15, 15), f.imu_jac.dtype),
+            dt_sum=f.imu_dt[k], ba=f.imu_ba[k], bg=f.imu_bg[k],
+        )
+        r = imu_ops.imu_residual(
+            state.p[k], state.q[k], state.v[k], state.ba[k], state.bg[k],
+            state.p[k + 1], state.q[k + 1], state.v[k + 1], state.ba[k + 1], state.bg[k + 1],
+            pre, f.g,
+        )
+        return (f.imu_sqrt_info[k] @ r) * f.imu_valid[k]
+
+    return jax.vmap(one)(jnp.arange(f.imu_valid.shape[0]))
+
+
+def point_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.ndarray:
+    """[MAX_F,NW,2] whitened point reprojection residuals
+    (`ProjectionFactor::Evaluate` / `ProjectionTdFactor`, SURVEY.md §A.3),
+    all (feature, frame) slots in one batch.
+    """
+    NW = state.p.shape[0]
+    dtype = state.p.dtype
+    # start-frame quantities per feature
+    start = f.pt_start  # [MF]
+    u_i = jnp.take_along_axis(f.pt_obs, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]  # [MF,2]
+    v_i = jnp.take_along_axis(f.pt_vel, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]
+    u_i = u_i - state.td * v_i  # td shift of the anchor observation
+    depth = 1.0 / jnp.where(jnp.abs(state.inv_depth) > 1e-6, state.inv_depth, 1e-6)  # [MF]
+    p_ci = jnp.concatenate([u_i, jnp.ones_like(u_i[:, :1])], axis=-1) * depth[:, None]  # [MF,3]
+
+    # anchor camera→world: x_w = R_wb_i (R_bc x_c + p_bc) + p_i
+    q_i = state.q[start]  # [MF,4]
+    p_i = state.p[start]
+    p_b = quat_rotate(jnp.broadcast_to(state.q_bc, q_i.shape), p_ci) + state.p_bc
+    p_w = quat_rotate(q_i, p_b) + p_i  # [MF,3]
+
+    # world→ every window camera
+    p_cb, q_cb = pose_inverse(jnp.broadcast_to(state.p_bc, (NW, 3)), jnp.broadcast_to(state.q_bc, (NW, 4)))
+    # x_cj = R_bc^T (R_wb_j^T (x_w − p_j) − p_bc)
+    def to_cam_j(j):
+        x_bj = quat_rotate(jnp.broadcast_to(state.q[j] * jnp.asarray([1, -1, -1, -1], dtype), (p_w.shape[0], 4)), p_w - state.p[j])
+        return quat_rotate(jnp.broadcast_to(q_cb[j], (p_w.shape[0], 4)), x_bj) + p_cb[j]
+
+    p_cj = jax.vmap(to_cam_j, out_axes=1)(jnp.arange(NW))  # [MF,NW,3]
+    z = p_cj[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-5, jnp.sign(z) * 1e-5 + (z == 0) * 1e-5, z)
+    pred = p_cj[..., 0:2] / z_safe  # [MF,NW,2]
+    u_j = f.pt_obs - state.td * f.pt_vel  # td shift of target observations
+    r = pred - u_j  # [MF,NW,2]
+
+    # masking: observed, not the anchor frame itself, feature active
+    NWr = jnp.arange(NW)[None, :]
+    not_anchor = (NWr != start[:, None]).astype(dtype)
+    m = f.pt_mask * not_anchor * f.pt_valid[:, None]
+    # behind-camera guard: zero the residual instead of exploding
+    m = m * (p_cj[..., 2] > 1e-3).astype(dtype)
+    return r * m[..., None] * (focal / 1.5)
+
+
+def line_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.ndarray:
+    """[MAX_L,NW,2] whitened line residuals (`lineProjectionFactor::Evaluate`,
+    SURVEY.md §A.4): world Plücker → camera frame per window pose, endpoint
+    distances to the projected infinite line."""
+    NW = state.p.shape[0]
+    dtype = state.p.dtype
+    p_wc, q_wc = cam_poses(state)  # [NW,3],[NW,4]
+    p_cw, q_cw = pose_inverse(p_wc, q_wc)
+    R_cw = quat_to_rot(q_cw)  # [NW,3,3]
+
+    def per_frame(j):
+        L_c = plucker_transform(state.line, R_cw[j], p_cw[j])  # [ML,6]
+        return line_projection_residual(L_c, f.ln_obs[:, j, 0:2], f.ln_obs[:, j, 2:4])
+
+    r = jax.vmap(per_frame, out_axes=1)(jnp.arange(NW))  # [ML,NW,2]
+    m = f.ln_mask * f.ln_valid[:, None]
+    return r * m[..., None] * (focal / 1.5)
+
+
+def prior_residual(state: WindowState, f: WindowFactors, lay: TangentLayout) -> jnp.ndarray:
+    """[DC] marginalization prior residual r₀ + J₀·(x ⊟ x₀)
+    (`MarginalizationFactor::Evaluate`)."""
+    dx = box_minus_cam(state, _prior_state(f, state), lay)
+    return (f.prior_r0 + f.prior_J @ dx) * f.prior_valid
+
+
+def residual_stack(
+    state: WindowState,
+    f: WindowFactors,
+    lay: TangentLayout,
+    focal: float,
+    pt_w: jnp.ndarray | None = None,
+    ln_w: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Full whitened residual vector. `pt_w`/`ln_w` are per-observation robust
+    (IRLS √Cauchy) weights treated as constants during linearization — the
+    JAX equivalent of Ceres' loss-function rescaling of (J, r)."""
+    r_imu = imu_residuals(state, f).reshape(-1)
+    r_pt = point_residuals(state, f, focal)
+    if pt_w is not None:
+        r_pt = r_pt * pt_w[..., None]
+    r_ln = line_residuals(state, f, focal)
+    if ln_w is not None:
+        r_ln = r_ln * ln_w[..., None]
+    r_pr = prior_residual(state, f, lay)
+    return jnp.concatenate([r_pr, r_imu, r_pt.reshape(-1), r_ln.reshape(-1)])
+
+
+def cauchy_weights(r2, c: float):
+    """√(ρ'(s)) for Cauchy loss ρ(s)=c²·log(1+s/c²), s = squared residual norm.
+
+    Matches Ceres `CauchyLoss(c)` first-order IRLS rescaling."""
+    return 1.0 / jnp.sqrt(1.0 + r2 / (c * c))
+
+
+def robust_weights(state: WindowState, f: WindowFactors, focal: float, cauchy_c: float):
+    """Per-observation IRLS weights from the current (unweighted) residuals."""
+    r_pt = point_residuals(state, f, focal)
+    r_ln = line_residuals(state, f, focal)
+    pt_w = cauchy_weights(jnp.sum(r_pt * r_pt, axis=-1), cauchy_c)
+    ln_w = cauchy_weights(jnp.sum(r_ln * r_ln, axis=-1), cauchy_c)
+    return pt_w, ln_w

@@ -1,0 +1,183 @@
+"""Batched damped Gauss-Newton / LM solver with landmark Schur elimination.
+
+TPU-native replacement for the reference's Ceres solve
+(`Estimator::optimization()` → `ceres::Solve` with DENSE_SCHUR + trust region,
+≤8 iterations — SURVEY.md §3.3 / §A.6). Instead of a general sparse solver,
+the window problem is one fixed-shape dense system:
+
+  * one `jax.jacfwd` through the manifold retraction linearises *all* factors
+    at once (J is [N_res, D], a single fused batch — MXU-friendly),
+  * H = JᵀJ, b = Jᵀr assembled as matmuls (the reference's 4-pthread Hessian
+    assembly in `marginalization_factor.cpp` collapses to one einsum),
+  * landmarks (inverse depths: scalar blocks; lines: 4×4 blocks) are
+    Schur-eliminated in closed form, leaving a DC×DC reduced camera system
+    solved by Cholesky,
+  * LM damping + accept/reject runs as a `lax.fori_loop` (fixed iteration
+    count like the reference's `NUM_ITERATIONS=8`),
+  * gauge: like the reference's `double2vector()`, the solution is re-anchored
+    post-solve so frame-0 position and yaw keep their pre-solve values.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plslam.config import SolverConfig
+from plslam.models import residuals as res
+from plslam.models.state import TangentLayout, WindowState, retract
+from plslam.ops.lines import plucker_transform
+from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
+
+
+class SolveStats(NamedTuple):
+    cost0: jnp.ndarray
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    accepted: jnp.ndarray  # number of accepted steps
+
+
+def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
+              estimate_extrinsic: bool, estimate_td: bool) -> jnp.ndarray:
+    """0/1 mask over tangent dims: which deltas the solver may move."""
+    dtype = f.g.dtype
+    m = jnp.ones((lay.dim,), dtype)
+    if not estimate_extrinsic:
+        m = m.at[lay.off_ext : lay.off_td].set(0.0)
+    if not estimate_td:
+        m = m.at[lay.off_td].set(0.0)
+    m = m.at[lay.off_depth : lay.off_line].set(f.pt_valid)
+    ln = jnp.repeat(f.ln_valid, 4)
+    m = m.at[lay.off_line :].set(ln)
+    return m
+
+
+def linearize(state, f, lay, focal, pt_w, ln_w, mask):
+    zero = jnp.zeros((lay.dim,), state.p.dtype)
+
+    def r_fn(delta):
+        return res.residual_stack(retract(state, delta * mask, lay), f, lay, focal, pt_w, ln_w)
+
+    r0 = r_fn(zero)
+    J = jax.jacfwd(r_fn)(zero)
+    return r0, J
+
+
+def _line_diag_blocks(C_l, max_l):
+    idx = jnp.arange(max_l)
+    return C_l.reshape(max_l, 4, max_l, 4)[idx, :, idx, :]  # [ML,4,4]
+
+
+def schur_solve(H, b, lay: TangentLayout, lam, mask, eps=1e-8):
+    """Solve (H + λ·diag(H))δ = −b with landmark Schur elimination.
+
+    Depth blocks are scalars; line blocks 4×4 — the DENSE_SCHUR structure of
+    the reference, in closed form. Frozen dims (mask=0) are pinned to δ=0 via
+    unit diagonal + zero rhs."""
+    DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
+    dtype = H.dtype
+    dH = jnp.diag(H)
+    damp = lam * dH + eps
+    # pin frozen dims
+    pin = 1.0 - mask
+    Hd_diag = dH + damp + pin
+    b = b * mask
+
+    A = H[:DC, :DC] + jnp.diag(Hd_diag[:DC] - dH[:DC])
+    Bd = H[:DC, DC : DC + MF]  # camera × depth
+    Bl = H[:DC, DC + MF :].reshape(DC, ML, 4)  # camera × line blocks
+    b_c = b[:DC]
+    b_d = b[DC : DC + MF]
+    b_l = b[DC + MF :].reshape(ML, 4)
+
+    d = Hd_diag[DC : DC + MF]  # damped depth diagonal (≥ eps, =1+.. if frozen)
+    C_l = H[DC + MF :, DC + MF :]
+    Cb = _line_diag_blocks(C_l, ML)
+    damp_l = (Hd_diag[DC + MF :] - dH[DC + MF :]).reshape(ML, 4)
+    Cb = Cb + jax.vmap(jnp.diag)(damp_l)
+    Cb_inv = jnp.linalg.inv(Cb)  # [ML,4,4]
+
+    BCd = Bd / d[None, :]  # [DC,MF]
+    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)  # [DC,ML,4]
+    S = A - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
+    rhs = -b_c + BCd @ b_d + jnp.einsum("dmb,mb->d", BCl, b_l)
+
+    cf = jax.scipy.linalg.cho_factor(S)
+    dc = jax.scipy.linalg.cho_solve(cf, rhs)
+
+    dd = (-b_d - Bd.T @ dc) / d
+    dl = jnp.einsum("mab,mb->ma", Cb_inv, -b_l - jnp.einsum("dma,d->ma", Bl, dc))
+    delta = jnp.concatenate([dc, dd, dl.reshape(-1)])
+    return delta * mask
+
+
+def cost_of(r):
+    return 0.5 * jnp.sum(r * r)
+
+
+@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters"))
+def optimize_window(
+    state: WindowState,
+    f: res.WindowFactors,
+    lay: TangentLayout,
+    cfg: SolverConfig,
+    estimate_extrinsic: bool = False,
+    estimate_td: bool = False,
+    num_iters: int = 8,
+):
+    """Run the windowed LM solve; returns (state', stats). Jitted once per
+    static config (`Estimator::optimization()` equivalent)."""
+    focal = cfg.focal_length
+    mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td)
+
+    pt_w0, ln_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c)
+    cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0))
+
+    def step(_, carry):
+        state, lam, cost, naccept = carry
+        pt_w, ln_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
+        r, J = linearize(state, f, lay, focal, pt_w, ln_w, mask)
+        H = J.T @ J
+        b = J.T @ r
+        delta = schur_solve(H, b, lay, lam, mask)
+        state_try = retract(state, delta, lay)
+        cost_here = cost_of(r)
+        cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w))
+        accept = cost_try < cost_here
+        state = jax.tree.map(lambda a, c: jnp.where(accept, a, c), state_try, state)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam * 0.4, cfg.lm_lambda_min),
+            jnp.minimum(lam * 5.0, cfg.lm_lambda_max),
+        )
+        cost = jnp.where(accept, cost_try, cost_here)
+        return (state, lam, cost, naccept + accept.astype(jnp.int32))
+
+    lam0 = jnp.asarray(cfg.lm_lambda_init, state.p.dtype)
+    state_out, lam, cost, naccept = jax.lax.fori_loop(
+        0, num_iters, step, (state, lam0, cost0, jnp.zeros((), jnp.int32))
+    )
+    state_out = reanchor(state_out, state)
+    return state_out, SolveStats(cost0=cost0, cost=cost, lam=lam, accepted=naccept)
+
+
+def reanchor(state_new: WindowState, state_ref: WindowState) -> WindowState:
+    """Gauge repair (`double2vector()`): rotate/translate the solution so
+    frame-0 position and yaw match `state_ref` (the pre-solve state). World
+    landmarks (Plücker lines) transform along; inverse depths are
+    frame-anchored and invariant."""
+    ypr_ref = rot_to_ypr(quat_to_rot(state_ref.q[0]))
+    ypr_new = rot_to_ypr(quat_to_rot(state_new.q[0]))
+    dyaw = ypr_ref[0] - ypr_new[0]
+    z = jnp.zeros_like(dyaw)
+    Rz = ypr_to_rot(jnp.stack([dyaw, z, z]))
+    q_z = rot_to_quat(Rz)
+    t = state_ref.p[0] - Rz @ state_new.p[0]
+
+    p = (state_new.p @ Rz.T) + t
+    q = quat_mul(jnp.broadcast_to(q_z, state_new.q.shape), state_new.q)
+    v = state_new.v @ Rz.T
+    line = plucker_transform(state_new.line, Rz, t)
+    return state_new._replace(p=p, q=q, v=v, line=line)

@@ -1,0 +1,97 @@
+"""Camera models: pinhole + radial-tangential distortion.
+
+TPU-native equivalent of the reference's camodocal subset
+(`camera_model/src/camera_models/PinholeCamera.cc`: `liftProjective`,
+`spaceToPlane` — SURVEY.md §2.5; reconstruction, reference mount empty).
+
+The camera is a NamedTuple of arrays → a jit-friendly pytree; all ops are
+vectorised over arbitrary leading axes so the whole feature table projects in
+one fused XLA call (no per-feature loops, MXU/VPU friendly).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class PinholeRadTan(NamedTuple):
+    """fx, fy, cx, cy intrinsics + k1,k2,p1,p2 radtan distortion."""
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+
+    @staticmethod
+    def create(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, dtype=jnp.float32):
+        return PinholeRadTan(*[jnp.asarray(v, dtype) for v in (fx, fy, cx, cy, k1, k2, p1, p2)])
+
+    @staticmethod
+    def euroc_cam0(dtype=jnp.float32):
+        """EuRoC MAV cam0 intrinsics (SURVEY.md §A.8)."""
+        return PinholeRadTan.create(
+            458.654, 457.296, 367.215, 248.375,
+            -0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, dtype=dtype,
+        )
+
+
+def distort(cam: PinholeRadTan, mn):
+    """Apply radtan distortion to normalized coords mn [...,2] -> distorted [...,2].
+
+    (`PinholeCamera::distortion` in the reference lineage.)
+    """
+    x, y = mn[..., 0], mn[..., 1]
+    x2, y2, xy = x * x, y * y, x * y
+    r2 = x2 + y2
+    rad = cam.k1 * r2 + cam.k2 * r2 * r2
+    dx = x * rad + 2.0 * cam.p1 * xy + cam.p2 * (r2 + 2.0 * x2)
+    dy = y * rad + cam.p1 * (r2 + 2.0 * y2) + 2.0 * cam.p2 * xy
+    return mn + jnp.stack([dx, dy], axis=-1)
+
+
+def project(cam: PinholeRadTan, p_c):
+    """3D camera-frame points [...,3] -> pixel coords [...,2].
+
+    (`PinholeCamera::spaceToPlane`.) Points behind the camera project through
+    their (negative-z) normalized coords; callers mask on z > 0.
+    """
+    z = p_c[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, jnp.full_like(z, 1e-9), z)
+    mn = p_c[..., 0:2] / z_safe
+    md = distort(cam, mn)
+    u = cam.fx * md[..., 0] + cam.cx
+    v = cam.fy * md[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def lift(cam: PinholeRadTan, uv, iters: int = 8):
+    """Pixel coords [...,2] -> undistorted normalized coords [...,2].
+
+    (`PinholeCamera::liftProjective` — the reference's recursive-approximation
+    undistortion, here as a fixed-count fixed-point iteration so the whole
+    batch jits to one fused loop-free XLA graph.)
+    """
+    mx = (uv[..., 0] - cam.cx) / cam.fx
+    my = (uv[..., 1] - cam.cy) / cam.fy
+    md = jnp.stack([mx, my], axis=-1)
+    mn = md
+    for _ in range(iters):
+        delta = distort(cam, mn) - mn
+        mn = md - delta
+    return mn
+
+
+def pixel_to_normalized(cam: PinholeRadTan, uv, iters: int = 8):
+    return lift(cam, uv, iters)
+
+
+def normalized_to_pixel(cam: PinholeRadTan, mn):
+    md = distort(cam, mn)
+    u = cam.fx * md[..., 0] + cam.cx
+    v = cam.fy * md[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)

@@ -1,0 +1,29 @@
+import jax.numpy as jnp
+import numpy as np
+
+from plslam.ops import cameras
+
+
+def test_project_lift_roundtrip_euroc():
+    cam = cameras.PinholeRadTan.euroc_cam0(jnp.float64)
+    rng = np.random.default_rng(0)
+    mn = jnp.asarray(rng.uniform(-0.55, 0.55, (200, 2)))
+    p_c = jnp.concatenate([mn, jnp.ones((200, 1))], axis=-1) * rng.uniform(0.5, 10, (200, 1))
+    uv = cameras.project(cam, p_c)
+    mn2 = cameras.lift(cam, uv, iters=12)
+    np.testing.assert_allclose(mn2, mn, atol=1e-8)
+
+
+def test_zero_distortion_identity():
+    cam = cameras.PinholeRadTan.create(400.0, 400.0, 320.0, 240.0, dtype=jnp.float64)
+    mn = jnp.asarray([[0.3, -0.2]])
+    np.testing.assert_allclose(cameras.distort(cam, mn), mn, atol=1e-14)
+    uv = cameras.normalized_to_pixel(cam, mn)
+    np.testing.assert_allclose(uv, [[320 + 0.3 * 400, 240 - 0.2 * 400]], atol=1e-10)
+
+
+def test_project_batch_shapes():
+    cam = cameras.PinholeRadTan.euroc_cam0(jnp.float32)
+    p = jnp.ones((4, 7, 3))
+    assert cameras.project(cam, p).shape == (4, 7, 2)
+    assert cameras.lift(cam, jnp.ones((4, 7, 2))).shape == (4, 7, 2)

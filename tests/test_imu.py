@@ -1,0 +1,74 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plslam.io import synthetic
+from plslam.ops import imu as imu_ops
+from plslam.utils.geometry import quat_box_minus
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.make_sequence(duration=3.0, n_points=8, n_lines=4, seed=1)
+
+
+def frame_states(seq, k):
+    return seq.gt_p[k], seq.gt_q[k], seq.gt_v[k]
+
+
+def preint_between(seq, k0, k1, ba=None, bg=None, noise=None):
+    acc, gyr, dt = synthetic.imu_between(seq, float(seq.frame_t[k0]), float(seq.frame_t[k1]))
+    ba = jnp.zeros(3, acc.dtype) if ba is None else ba
+    bg = jnp.zeros(3, acc.dtype) if bg is None else bg
+    noise = noise or imu_ops.ImuNoise.euroc(acc.dtype)
+    return imu_ops.preintegrate(acc, gyr, dt, ba, bg, noise)
+
+
+def test_residual_zero_at_ground_truth(seq):
+    g = jnp.asarray(synthetic.G_WORLD)
+    for k0, k1 in [(0, 2), (10, 12), (30, 34)]:
+        pre = preint_between(seq, k0, k1)
+        p_i, q_i, v_i = frame_states(seq, k0)
+        p_j, q_j, v_j = frame_states(seq, k1)
+        z = jnp.zeros(3)
+        r = imu_ops.imu_residual(p_i, q_i, v_i, z, z, p_j, q_j, v_j, z, z, pre, g)
+        # midpoint integration at 200 Hz over 0.1-0.2 s: discretisation error only
+        assert float(jnp.max(jnp.abs(r))) < 2e-5, (k0, k1, np.asarray(r))
+
+
+def test_bias_jacobian_matches_repropagation(seq):
+    """First-order bias correction (the stored J blocks) must match actually
+    re-running preintegration with shifted biases — the reference's
+    `repropagate` consistency."""
+    pre0 = preint_between(seq, 0, 4)
+    dba = jnp.asarray([0.02, -0.01, 0.015])
+    dbg = jnp.asarray([0.004, 0.006, -0.005])
+    pre1 = preint_between(seq, 0, 4, ba=dba, bg=dbg)
+    a_corr, b_corr, g_corr = imu_ops.bias_corrected_delta(pre0, dba, dbg)
+    np.testing.assert_allclose(a_corr, pre1.alpha, atol=5e-5)
+    np.testing.assert_allclose(b_corr, pre1.beta, atol=5e-5)
+    dth = quat_box_minus(pre1.gamma, g_corr)
+    assert float(jnp.max(jnp.abs(dth))) < 5e-5
+
+
+def test_covariance_psd_and_growth(seq):
+    pre_short = preint_between(seq, 0, 1)
+    pre_long = preint_between(seq, 0, 8)
+    for pre in (pre_short, pre_long):
+        w = np.linalg.eigvalsh(np.asarray(pre.cov))
+        assert w.min() > -1e-12
+    assert np.trace(np.asarray(pre_long.cov)) > np.trace(np.asarray(pre_short.cov))
+
+
+def test_sqrt_info_whitens(seq):
+    pre = preint_between(seq, 0, 4)
+    S = imu_ops.sqrt_info_from_cov(pre.cov)
+    P = np.asarray(pre.cov)
+    np.testing.assert_allclose(np.asarray(S.T @ S) @ P, np.eye(15), atol=1e-4)
+
+
+def test_dt_sum(seq):
+    pre = preint_between(seq, 0, 2)
+    np.testing.assert_allclose(
+        float(pre.dt_sum), float(seq.frame_t[2] - seq.frame_t[0]), atol=1e-9
+    )
