@@ -1,0 +1,117 @@
+"""Trajectory evaluation: ATE / RPE with Umeyama or yaw-only (4-DoF) alignment.
+
+First-class replacement for the reference's external evaluation flow
+(`benchmark_publisher` ground-truth republisher + offline `evo` /
+`rpg_trajectory_evaluation` on dumped TUM CSVs — SURVEY.md §2.5/§4).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def umeyama_alignment(est_p, gt_p, with_scale=False):
+    """Least-squares similarity/SE(3) alignment: returns (s, R, t) minimizing
+    ‖gt − (s·R·est + t)‖²."""
+    mu_e = est_p.mean(axis=0)
+    mu_g = gt_p.mean(axis=0)
+    xe = est_p - mu_e
+    xg = gt_p - mu_g
+    C = xg.T @ xe / len(est_p)
+    U, D, Vt = np.linalg.svd(C)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_e = (xe * xe).sum() / len(est_p)
+        s = float(np.trace(np.diag(D) @ S) / var_e)
+    else:
+        s = 1.0
+    t = mu_g - s * R @ mu_e
+    return s, R, t
+
+
+def yaw_only_alignment(est_p, gt_p):
+    """4-DoF (yaw + translation) alignment — the correct gauge for VIO where
+    pitch/roll are observable."""
+    mu_e = est_p.mean(axis=0)
+    mu_g = gt_p.mean(axis=0)
+    xe = est_p - mu_e
+    xg = gt_p - mu_g
+    # optimal yaw: maximize trace of Rz(θ)·Σ in the xy-plane
+    a = float((xe[:, 0] * xg[:, 0] + xe[:, 1] * xg[:, 1]).sum())
+    b = float((xe[:, 0] * xg[:, 1] - xe[:, 1] * xg[:, 0]).sum())
+    theta = np.arctan2(b, a)
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    t = mu_g - R @ mu_e
+    return R, t
+
+
+def ate_rmse(est_t, est_p, gt_t, gt_p, align="yaw", max_dt=0.02):
+    """Absolute trajectory error RMSE after temporal association + alignment.
+
+    align: 'yaw' (4-DoF, VIO standard), 'se3', or 'sim3'."""
+    est_p_a, gt_p_a = associate(est_t, est_p, gt_t, gt_p, max_dt)
+    if len(est_p_a) < 3:
+        return float("nan")
+    if align == "yaw":
+        R, t = yaw_only_alignment(est_p_a, gt_p_a)
+        err = gt_p_a - (est_p_a @ R.T + t)
+    else:
+        s, R, t = umeyama_alignment(est_p_a, gt_p_a, with_scale=(align == "sim3"))
+        err = gt_p_a - (s * est_p_a @ R.T + t)
+    return float(np.sqrt(np.mean(np.sum(err * err, axis=1))))
+
+
+def rpe(est_t, est_p, gt_t, gt_p, delta=1.0, max_dt=0.02):
+    """Relative pose error (translation) over windows of `delta` seconds."""
+    est_p_a, gt_p_a, ts = associate(est_t, est_p, gt_t, gt_p, max_dt, return_t=True)
+    errs = []
+    j = 0
+    for i in range(len(ts)):
+        while j < len(ts) and ts[j] < ts[i] + delta:
+            j += 1
+        if j >= len(ts):
+            break
+        de = est_p_a[j] - est_p_a[i]
+        dg = gt_p_a[j] - gt_p_a[i]
+        errs.append(np.linalg.norm(de) - np.linalg.norm(dg))
+    if not errs:
+        return float("nan")
+    return float(np.sqrt(np.mean(np.square(errs))))
+
+
+def associate(est_t, est_p, gt_t, gt_p, max_dt=0.02, return_t=False):
+    """Nearest-timestamp association of two trajectories."""
+    est_t = np.asarray(est_t)
+    gt_t = np.asarray(gt_t)
+    idx = np.searchsorted(gt_t, est_t)
+    idx = np.clip(idx, 1, len(gt_t) - 1)
+    left = gt_t[idx - 1]
+    right = gt_t[idx]
+    use_left = np.abs(est_t - left) < np.abs(est_t - right)
+    gi = np.where(use_left, idx - 1, idx)
+    ok = np.abs(gt_t[gi] - est_t) <= max_dt
+    if return_t:
+        return np.asarray(est_p)[ok], np.asarray(gt_p)[gi][ok], est_t[ok]
+    return np.asarray(est_p)[ok], np.asarray(gt_p)[gi][ok]
+
+
+def write_tum(path, ts, ps, qs):
+    """TUM trajectory format: `t x y z qx qy qz qw` (the reference dumped
+    `vins_result_no_loop.csv`-style CSVs from visualization.cpp)."""
+    with open(path, "w") as fh:
+        for t, p, q in zip(ts, ps, qs):
+            fh.write(
+                f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+            )
+
+
+def read_tum(path):
+    data = np.loadtxt(path)
+    ts = data[:, 0]
+    ps = data[:, 1:4]
+    qs = data[:, [7, 4, 5, 6]]  # back to wxyz
+    return ts, ps, qs

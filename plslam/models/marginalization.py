@@ -79,8 +79,7 @@ def _sqrt_refactor(H, b, eps):
     s = jnp.where(ok, jnp.sqrt(jnp.maximum(w, eps)), 0.0)
     s_inv = jnp.where(ok, 1.0 / jnp.maximum(s, jnp.sqrt(eps)), 0.0)
     J0 = s[:, None] * V.T
-    r0 = s_inv[:, None] * V.T @ b
-    r0 = r0[:, 0] if r0.ndim == 2 else r0
+    r0 = s_inv * (V.T @ b)
     return J0, r0
 
 
@@ -138,8 +137,16 @@ def marginalize_old(
     H = J.T @ J
     b = J.T @ r0
 
+    # 0) Jacobi scaling: IMU-bias whitening puts ~14 decades on diag(H); every
+    #    eigendecomposition below operates in scaled (unit-diagonal) space so
+    #    the eigenvalue floor is relative and float32 survives.
+    dH = jnp.diag(H)
+    sc = jnp.where(dH > 1e-12, 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-12)), 1.0)
+    Hs = H * sc[:, None] * sc[None, :]
+    bs = b * sc
+
     # 1) eliminate all landmark dims (uninvolved blocks are zero → pinv drops them)
-    H_c, b_c = _eliminate_landmarks(H, b, lay, eps)
+    H_c, b_c = _eliminate_landmarks(Hs, bs, lay, eps)
 
     # 2) eliminate frame-0 pose+speedbias (15 dims) with eigh pseudo-inverse
     drop, keep = _drop0_indices(lay)
@@ -159,9 +166,11 @@ def marginalize_old(
     perm = _shift_perm(lay)
     H_full = H_full[perm][:, perm]
     b_full = b_full[perm]
+    sc_perm = sc[:DC][perm]
 
-    # 4) √-refactor into (J0, r0)
+    # 4) √-refactor into (J0, r0); un-scale J0's columns back to tangent units
     J0, r0p = _sqrt_refactor(H_full, b_full, eps)
+    J0 = J0 * (1.0 / sc_perm)[None, :]
 
     # 5) snapshot = current state shifted like the window will be
     roll = lambda a: jnp.concatenate([a[1:], a[:1]], axis=0)
@@ -185,6 +194,10 @@ def marginalize_second_new(
     nw = lay.nw
     H = f.prior_J.T @ f.prior_J
     b = f.prior_J.T @ f.prior_r0
+    dH = jnp.diag(H)
+    sc = jnp.where(dH > 1e-12, 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-12)), 1.0)
+    H = H * sc[:, None] * sc[None, :]
+    b = b * sc
 
     drop = jnp.arange((nw - 2) * 6, (nw - 1) * 6)  # pose slot NW-2
     keep = jnp.asarray(
@@ -199,6 +212,7 @@ def marginalize_second_new(
     H_full = jnp.zeros((DC, DC), H.dtype).at[jnp.ix_(keep, keep)].set(H_kk)
     b_full = jnp.zeros((DC,), H.dtype).at[keep].set(b_kk)
     J0, r0p = _sqrt_refactor(H_full, b_full, eps)
+    J0 = J0 * (1.0 / sc)[None, :]
     return Prior(
         J=J0, r0=r0p, valid=f.prior_valid,
         p=f.prior_p, q=f.prior_q, v=f.prior_v, ba=f.prior_ba, bg=f.prior_bg,

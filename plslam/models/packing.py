@@ -1,0 +1,126 @@
+"""Builders that pack measurements into the fixed-shape `WindowFactors`.
+
+Two producers exist: the live estimator (from its feature tables) and this
+module's synthetic packer (ground-truth-exact windows for tests and benches
+— replacing the reference's rosbag-replay validation, SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from plslam.config import SolverConfig
+from plslam.io.synthetic import SyntheticSequence, imu_between
+from plslam.models.residuals import WindowFactors, empty_factors
+from plslam.models.state import TangentLayout, WindowState, zero_state
+from plslam.ops import imu as imu_ops
+from plslam.ops.lines import plucker_from_points
+from plslam.utils.geometry import quat_conj, quat_mul, quat_rotate
+
+
+def gt_window_state(seq: SyntheticSequence, frames, cfg: SolverConfig, dtype=jnp.float64) -> WindowState:
+    idx = np.asarray(frames)
+    st = zero_state(cfg, dtype)
+    return st._replace(
+        p=seq.gt_p[idx].astype(dtype),
+        q=seq.gt_q[idx].astype(dtype),
+        v=seq.gt_v[idx].astype(dtype),
+        p_bc=seq.p_bc.astype(dtype),
+        q_bc=seq.q_bc.astype(dtype),
+    )
+
+
+def cam_pose_at(seq: SyntheticSequence, k):
+    q_wc = quat_mul(seq.gt_q[k], seq.q_bc)
+    p_wc = seq.gt_p[k] + quat_rotate(seq.gt_q[k], seq.p_bc)
+    return p_wc, q_wc
+
+
+def factors_from_synthetic(
+    seq: SyntheticSequence,
+    frames,
+    cfg: SolverConfig,
+    lay: TangentLayout,
+    dtype=jnp.float64,
+    with_lines: bool = True,
+    noise: imu_ops.ImuNoise | None = None,
+):
+    """Pack a ground-truth window over the given frame indices.
+
+    Returns (gt_state, factors) where gt_state holds true poses, true inverse
+    depths (anchored in each feature's first observing frame) and true world
+    Plücker lines — the solver should reproduce it from perturbations."""
+    nw = lay.nw
+    assert len(frames) == nw
+    noise = noise or imu_ops.ImuNoise.euroc(jnp.float64)
+    f = empty_factors(cfg, lay, dtype)
+    state = gt_window_state(seq, frames, cfg, dtype)
+
+    # --- IMU preintegrations ---
+    pres = []
+    for k in range(nw - 1):
+        acc, gyr, dt = imu_between(seq, float(seq.frame_t[frames[k]]), float(seq.frame_t[frames[k + 1]]))
+        pres.append(imu_ops.preintegrate(acc, gyr, dt, jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64), noise))
+    f = f._replace(
+        imu_alpha=jnp.stack([p.alpha for p in pres]).astype(dtype),
+        imu_beta=jnp.stack([p.beta for p in pres]).astype(dtype),
+        imu_gamma=jnp.stack([p.gamma for p in pres]).astype(dtype),
+        imu_jac=jnp.stack([p.jac for p in pres]).astype(dtype),
+        imu_sqrt_info=jnp.stack([imu_ops.sqrt_info_from_cov(p.cov) for p in pres]).astype(dtype),
+        imu_dt=jnp.stack([p.dt_sum for p in pres]).astype(dtype),
+        imu_ba=jnp.zeros((nw - 1, 3), dtype),
+        imu_bg=jnp.zeros((nw - 1, 3), dtype),
+        imu_valid=jnp.ones((nw - 1,), dtype),
+    )
+
+    # --- points: choose landmarks observed in ≥2 window frames ---
+    vis = np.asarray(seq.obs_valid[np.asarray(frames)])  # [nw, L]
+    n_obs = vis.sum(axis=0)
+    cand = np.nonzero(n_obs >= 2)[0][: lay.max_f]
+    pt_obs = np.zeros((lay.max_f, nw, 2))
+    pt_mask = np.zeros((lay.max_f, nw))
+    pt_start = np.zeros(lay.max_f, np.int32)
+    pt_valid = np.zeros(lay.max_f)
+    inv_depth = np.full(lay.max_f, 0.2)
+    obs_np = np.asarray(seq.obs[np.asarray(frames)])  # [nw, L, 2]
+    for s, li in enumerate(cand):
+        pt_obs[s] = obs_np[:, li]
+        pt_mask[s] = vis[:, li]
+        start = int(np.nonzero(vis[:, li])[0][0])
+        pt_start[s] = start
+        pt_valid[s] = 1.0
+        # true inverse depth in anchor camera
+        p_wc, q_wc = cam_pose_at(seq, frames[start])
+        pc = quat_rotate(quat_conj(q_wc), seq.landmarks[li] - p_wc)
+        inv_depth[s] = 1.0 / float(pc[2])
+    f = f._replace(
+        pt_obs=jnp.asarray(pt_obs, dtype),
+        pt_mask=jnp.asarray(pt_mask, dtype),
+        pt_start=jnp.asarray(pt_start),
+        pt_valid=jnp.asarray(pt_valid, dtype),
+    )
+    state = state._replace(inv_depth=jnp.asarray(inv_depth, dtype))
+
+    # --- lines ---
+    if with_lines:
+        lvis = np.asarray(seq.line_obs_valid[np.asarray(frames)])  # [nw, S]
+        lcand = np.nonzero(lvis.sum(axis=0) >= 2)[0][: lay.max_l]
+        ln_obs = np.zeros((lay.max_l, nw, 4))
+        ln_mask = np.zeros((lay.max_l, nw))
+        ln_valid = np.zeros(lay.max_l)
+        line_w = np.asarray(state.line).copy()
+        lobs_np = np.asarray(seq.line_obs[np.asarray(frames)])
+        for s, li in enumerate(lcand):
+            ln_obs[s] = lobs_np[:, li]
+            ln_mask[s] = lvis[:, li]
+            ln_valid[s] = 1.0
+            line_w[s] = np.asarray(plucker_from_points(seq.line_sp[li], seq.line_ep[li]))
+        f = f._replace(
+            ln_obs=jnp.asarray(ln_obs, dtype),
+            ln_mask=jnp.asarray(ln_mask, dtype),
+            ln_valid=jnp.asarray(ln_valid, dtype),
+        )
+        state = state._replace(line=jnp.asarray(line_w, dtype))
+
+    f = f._replace(g=jnp.asarray([0.0, 0.0, 9.81007], dtype))
+    return state, f

@@ -40,14 +40,19 @@ class SolveStats(NamedTuple):
 
 
 def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
-              estimate_extrinsic: bool, estimate_td: bool) -> jnp.ndarray:
-    """0/1 mask over tangent dims: which deltas the solver may move."""
+              estimate_extrinsic: bool, estimate_td: bool,
+              freeze_frames: tuple = ()) -> jnp.ndarray:
+    """0/1 mask over tangent dims: which deltas the solver may move.
+    `freeze_frames` pins whole poses (used by the SFM bootstrap for gauge +
+    scale fixing, like the reference's SetParameterBlockConstant)."""
     dtype = f.g.dtype
     m = jnp.ones((lay.dim,), dtype)
     if not estimate_extrinsic:
         m = m.at[lay.off_ext : lay.off_td].set(0.0)
     if not estimate_td:
         m = m.at[lay.off_td].set(0.0)
+    for k in freeze_frames:
+        m = m.at[lay.off_pose + 6 * k : lay.off_pose + 6 * (k + 1)].set(0.0)
     m = m.at[lay.off_depth : lay.off_line].set(f.pt_valid)
     ln = jnp.repeat(f.ln_valid, 4)
     m = m.at[lay.off_line :].set(ln)
@@ -75,32 +80,37 @@ def schur_solve(H, b, lay: TangentLayout, lam, mask, eps=1e-8):
 
     Depth blocks are scalars; line blocks 4×4 — the DENSE_SCHUR structure of
     the reference, in closed form. Frozen dims (mask=0) are pinned to δ=0 via
-    unit diagonal + zero rhs."""
+    unit diagonal + zero rhs.
+
+    The system is Jacobi-preconditioned (column scaling D = diag(H)^-½) before
+    factorisation: IMU-bias whitening puts ~12 orders of magnitude on the
+    diagonal, which float32 — the TPU-native dtype — cannot survive raw. In
+    scaled variables diag(H̃)=1, so LM damping is simply +λI."""
     DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
-    dtype = H.dtype
     dH = jnp.diag(H)
-    damp = lam * dH + eps
-    # pin frozen dims
     pin = 1.0 - mask
-    Hd_diag = dH + damp + pin
-    b = b * mask
+    scale = 1.0 / jnp.sqrt(jnp.maximum(dH, eps))
+    scale = scale * mask  # frozen dims scaled to zero → unit diag via pin
+    Hs = H * scale[:, None] * scale[None, :] + jnp.diag(pin)
+    bs = b * scale
+    damp = lam + eps
 
-    A = H[:DC, :DC] + jnp.diag(Hd_diag[:DC] - dH[:DC])
-    Bd = H[:DC, DC : DC + MF]  # camera × depth
-    Bl = H[:DC, DC + MF :].reshape(DC, ML, 4)  # camera × line blocks
-    b_c = b[:DC]
-    b_d = b[DC : DC + MF]
-    b_l = b[DC + MF :].reshape(ML, 4)
+    A = Hs[:DC, :DC] + jnp.diag(damp * mask[:DC])
+    Bd = Hs[:DC, DC : DC + MF]
+    Bl = Hs[:DC, DC + MF :].reshape(DC, ML, 4)
+    b_c = bs[:DC]
+    b_d = bs[DC : DC + MF]
+    b_l = bs[DC + MF :].reshape(ML, 4)
 
-    d = Hd_diag[DC : DC + MF]  # damped depth diagonal (≥ eps, =1+.. if frozen)
-    C_l = H[DC + MF :, DC + MF :]
+    d = jnp.diagonal(Hs)[DC : DC + MF] + damp * mask[DC : DC + MF]
+    C_l = Hs[DC + MF :, DC + MF :]
     Cb = _line_diag_blocks(C_l, ML)
-    damp_l = (Hd_diag[DC + MF :] - dH[DC + MF :]).reshape(ML, 4)
+    damp_l = (damp * mask[DC + MF :]).reshape(ML, 4)
     Cb = Cb + jax.vmap(jnp.diag)(damp_l)
     Cb_inv = jnp.linalg.inv(Cb)  # [ML,4,4]
 
-    BCd = Bd / d[None, :]  # [DC,MF]
-    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)  # [DC,ML,4]
+    BCd = Bd / d[None, :]
+    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
     S = A - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
     rhs = -b_c + BCd @ b_d + jnp.einsum("dmb,mb->d", BCl, b_l)
 
@@ -109,7 +119,7 @@ def schur_solve(H, b, lay: TangentLayout, lam, mask, eps=1e-8):
 
     dd = (-b_d - Bd.T @ dc) / d
     dl = jnp.einsum("mab,mb->ma", Cb_inv, -b_l - jnp.einsum("dma,d->ma", Bl, dc))
-    delta = jnp.concatenate([dc, dd, dl.reshape(-1)])
+    delta = jnp.concatenate([dc, dd, dl.reshape(-1)]) * scale
     return delta * mask
 
 
@@ -117,7 +127,7 @@ def cost_of(r):
     return 0.5 * jnp.sum(r * r)
 
 
-@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters"))
+@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters", "freeze_frames"))
 def optimize_window(
     state: WindowState,
     f: res.WindowFactors,
@@ -126,11 +136,12 @@ def optimize_window(
     estimate_extrinsic: bool = False,
     estimate_td: bool = False,
     num_iters: int = 8,
+    freeze_frames: tuple = (),
 ):
     """Run the windowed LM solve; returns (state', stats). Jitted once per
     static config (`Estimator::optimization()` equivalent)."""
     focal = cfg.focal_length
-    mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td)
+    mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td, freeze_frames)
 
     pt_w0, ln_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c)
     cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0))

@@ -69,20 +69,39 @@ def project(cam: PinholeRadTan, p_c):
     return jnp.stack([u, v], axis=-1)
 
 
-def lift(cam: PinholeRadTan, uv, iters: int = 8):
+def _distort_jac(cam: PinholeRadTan, mn):
+    """Analytic 2×2 jacobian of the distortion map (for Newton undistortion)."""
+    x, y = mn[..., 0], mn[..., 1]
+    r2 = x * x + y * y
+    rad = cam.k1 * r2 + cam.k2 * r2 * r2
+    dr = cam.k1 + 2.0 * cam.k2 * r2  # d(rad)/d(r2)
+    j00 = 1.0 + rad + 2.0 * x * x * dr + 2.0 * cam.p1 * y + 6.0 * cam.p2 * x
+    j01 = 2.0 * x * y * dr + 2.0 * cam.p1 * x + 2.0 * cam.p2 * y
+    j10 = 2.0 * x * y * dr + 2.0 * cam.p1 * x + 2.0 * cam.p2 * y
+    j11 = 1.0 + rad + 2.0 * y * y * dr + 6.0 * cam.p1 * y + 2.0 * cam.p2 * x
+    return j00, j01, j10, j11
+
+
+def lift(cam: PinholeRadTan, uv, iters: int = 5):
     """Pixel coords [...,2] -> undistorted normalized coords [...,2].
 
-    (`PinholeCamera::liftProjective` — the reference's recursive-approximation
-    undistortion, here as a fixed-count fixed-point iteration so the whole
-    batch jits to one fused loop-free XLA graph.)
-    """
+    (`PinholeCamera::liftProjective`.) The reference used a fixed-point
+    recursive approximation; with EuRoC-strength distortion that contracts
+    slowly near the image border, so we run a fixed-count batched Newton
+    iteration (closed-form 2×2 solve, quadratic convergence, branch-free —
+    one fused XLA graph over the whole batch)."""
     mx = (uv[..., 0] - cam.cx) / cam.fx
     my = (uv[..., 1] - cam.cy) / cam.fy
     md = jnp.stack([mx, my], axis=-1)
     mn = md
     for _ in range(iters):
-        delta = distort(cam, mn) - mn
-        mn = md - delta
+        f = distort(cam, mn) - md
+        j00, j01, j10, j11 = _distort_jac(cam, mn)
+        det = j00 * j11 - j01 * j10
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        dx = (j11 * f[..., 0] - j01 * f[..., 1]) / det
+        dy = (-j10 * f[..., 0] + j00 * f[..., 1]) / det
+        mn = mn - jnp.stack([dx, dy], axis=-1)
     return mn
 
 

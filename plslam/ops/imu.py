@@ -172,15 +172,20 @@ def bias_corrected_delta(pre: Preintegration, ba, bg):
     return alpha, beta, gamma
 
 
-def sqrt_info_from_cov(P, jitter=1e-8):
-    """Whitening matrix: sqrt_info = chol(P⁻¹)ᵀ (upper), as the reference's
-    `LLT(covariance.inverse()).matrixL().transpose()`."""
+def sqrt_info_from_cov(P, jitter=1e-10):
+    """Whitening matrix S with SᵀS = P⁻¹. The reference formed
+    `LLT(covariance.inverse()).matrixL().transpose()`; we take the better
+    -conditioned equivalent S = L⁻¹ with P = L Lᵀ (triangular inverse —
+    no explicit P⁻¹)."""
     dtype = P.dtype
-    P = 0.5 * (P + P.T) + jitter * jnp.eye(P.shape[0], dtype=dtype)
-    Pinv = jnp.linalg.inv(P)
-    Pinv = 0.5 * (Pinv + Pinv.T)
-    L = jnp.linalg.cholesky(Pinv)
-    return L.T
+    n = P.shape[0]
+    P = 0.5 * (P + P.T)
+    # relative jitter: covariance blocks span ~14 orders of magnitude
+    # (position vs. bias random walk), so absolute regularisation would
+    # swamp the small eigenvalues
+    P = P + jitter * jnp.diag(jnp.maximum(jnp.diag(P), 1e-30))
+    L = jnp.linalg.cholesky(P)
+    return jax.scipy.linalg.solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
 
 
 def imu_residual(p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, ba_j, bg_j, pre: Preintegration, g):

@@ -109,26 +109,32 @@ def rot_to_quat(R):
 
 
 def quat_exp(dtheta):
-    """exp map R^3 -> quaternion: rotation of angle |dθ| about dθ/|dθ|."""
+    """exp map R^3 -> quaternion: rotation of angle |dθ| about dθ/|dθ|.
+
+    AD-safe at dθ=0: the norm is never sqrt'ed at zero (the sqrt argument is
+    sanitised *before* the sqrt so forward-mode tangents stay finite — this
+    function sits at the linearisation point of every jacfwd in the solver).
+    """
     half = 0.5 * dtheta
-    a = jnp.linalg.norm(half, axis=-1, keepdims=True)
-    small = a < jnp.asarray(_EPS, half.dtype)
-    a_safe = jnp.where(small, jnp.ones_like(a), a)
-    s = jnp.where(small, 1.0 - a * a / 6.0, jnp.sin(a_safe) / a_safe)
-    w = jnp.cos(a)
+    a2 = jnp.sum(half * half, axis=-1, keepdims=True)
+    small = a2 < jnp.asarray(_EPS * _EPS, half.dtype)
+    a = jnp.sqrt(jnp.where(small, jnp.ones_like(a2), a2))
+    s = jnp.where(small, 1.0 - a2 / 6.0, jnp.sin(a) / a)
+    w = jnp.where(small, 1.0 - a2 / 2.0, jnp.cos(a))
     return jnp.concatenate([w, s * half], axis=-1)
 
 
 def quat_log(q):
-    """log map: quaternion -> R^3 rotation vector (angle*axis)."""
+    """log map: quaternion -> R^3 rotation vector (angle*axis). AD-safe at
+    identity (see quat_exp)."""
     q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
     w = jnp.clip(q[..., 0:1], -1.0, 1.0)
     qv = q[..., 1:4]
-    n = jnp.linalg.norm(qv, axis=-1, keepdims=True)
-    small = n < jnp.asarray(_EPS, q.dtype)
-    n_safe = jnp.where(small, jnp.ones_like(n), n)
+    n2 = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = n2 < jnp.asarray(_EPS * _EPS, q.dtype)
+    n = jnp.sqrt(jnp.where(small, jnp.ones_like(n2), n2))
     angle = 2.0 * jnp.arctan2(n, w)
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), angle / n_safe)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), angle / n)
     return scale * qv
 
 

@@ -10,8 +10,11 @@ def test_project_lift_roundtrip_euroc():
     mn = jnp.asarray(rng.uniform(-0.55, 0.55, (200, 2)))
     p_c = jnp.concatenate([mn, jnp.ones((200, 1))], axis=-1) * rng.uniform(0.5, 10, (200, 1))
     uv = cameras.project(cam, p_c)
-    mn2 = cameras.lift(cam, uv, iters=12)
-    np.testing.assert_allclose(mn2, mn, atol=1e-8)
+    mn2 = cameras.lift(cam, uv, iters=30)
+    np.testing.assert_allclose(mn2, mn, atol=1e-9)
+    # production default (8 iters) is sub-hundredth-pixel accurate
+    mn8 = cameras.lift(cam, uv)
+    assert float(jnp.max(jnp.abs(mn8 - mn))) * 460.0 < 5e-3
 
 
 def test_zero_distortion_identity():

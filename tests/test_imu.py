@@ -63,8 +63,8 @@ def test_covariance_psd_and_growth(seq):
 def test_sqrt_info_whitens(seq):
     pre = preint_between(seq, 0, 4)
     S = imu_ops.sqrt_info_from_cov(pre.cov)
-    P = np.asarray(pre.cov)
-    np.testing.assert_allclose(np.asarray(S.T @ S) @ P, np.eye(15), atol=1e-4)
+    P = jnp.asarray(pre.cov)
+    np.testing.assert_allclose(np.asarray(S @ P @ S.T), np.eye(15), atol=1e-6)
 
 
 def test_dt_sum(seq):
