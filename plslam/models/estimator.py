@@ -112,17 +112,18 @@ class Estimator:
         self.bg = np.zeros((nw, 3))
         ext = self.config.extrinsic
         R_bc = np.asarray(ext.rot).reshape(3, 3)
-        self.q_bc = np.asarray(rot_to_quat(jnp.asarray(R_bc)))
-        self.p_bc = np.asarray(ext.trans, np.float64)
+        self.q_bc = np.array(rot_to_quat(jnp.asarray(R_bc)))
+        self.p_bc = np.array(ext.trans, np.float64)
         self.td = float(self.config.temporal.td)
         self.pt_table = PointTable(self.cfg)
         self.ln_table = LineTable(self.cfg)
         self.line_w = np.zeros((self.cfg.max_line_feats, 6))
         self.line_w[:, 1] = 5.0
         self.line_w[:, 5] = 1.0
-        # imu_bufs[k] holds samples spanning (frame k-1 → frame k); [0] unused
-        self.imu_bufs: list[ImuBuffer] = [ImuBuffer(), ImuBuffer()]
-        self.pres: list[Optional[dict]] = [None, None]
+        # imu_bufs[k] holds samples spanning (frame k-1 → frame k); [0] covers
+        # the pre-first-frame samples and is never used as a factor
+        self.imu_bufs: list[ImuBuffer] = [ImuBuffer()]
+        self.pres: list[Optional[dict]] = [None]
         self.prior: Optional[marg.Prior] = None
         self.last_acc = None
         self.last_gyr = None
@@ -311,18 +312,19 @@ class Estimator:
         return f
 
     def _writeback(self, st: WindowState):
-        self.p = np.asarray(st.p, np.float64)
-        self.q = np.asarray(st.q, np.float64)
-        self.v = np.asarray(st.v, np.float64)
-        self.ba = np.asarray(st.ba, np.float64)
-        self.bg = np.asarray(st.bg, np.float64)
-        self.p_bc = np.asarray(st.p_bc, np.float64)
-        self.q_bc = np.asarray(st.q_bc, np.float64)
+        # np.array (not asarray): device arrays view as read-only
+        self.p = np.array(st.p, np.float64)
+        self.q = np.array(st.q, np.float64)
+        self.v = np.array(st.v, np.float64)
+        self.ba = np.array(st.ba, np.float64)
+        self.bg = np.array(st.bg, np.float64)
+        self.p_bc = np.array(st.p_bc, np.float64)
+        self.q_bc = np.array(st.q_bc, np.float64)
         self.td = float(st.td)
         inv = np.asarray(st.inv_depth, np.float64)
         used = self.pt_table.used_in_solver()
         self.pt_table.inv_depth[used] = inv[used]
-        self.line_w = np.asarray(st.line, np.float64)
+        self.line_w = np.array(st.line, np.float64)
 
     # --------------------------------------------------------------- solving
     def _cam_poses_np(self):
@@ -426,7 +428,7 @@ class Estimator:
             if self.prior is not None:
                 self.prior = marg.marginalize_second_new(st, f, self.lay, self.cfg)
             # merge interval (nw-1→nw) into (nw-2→nw-1): frame nw-1 dies
-            merged = ImuBuffer.merged(self.imu_bufs[nw - 1 + 1 - 1], self.imu_bufs[nw])
+            merged = ImuBuffer.merged(self.imu_bufs[nw - 1], self.imu_bufs[nw])
             self.imu_bufs[nw - 1] = merged
             self.imu_bufs.pop(nw)
             self.pres.pop(nw)

@@ -163,6 +163,7 @@ def detect_segments(mag, ang, edge, h: int, w: int, max_out: int = 96,
             # supporting pixels: near the line & orientation-gated
             d_line = xc.reshape(-1) * c + yc.reshape(-1) * s - rho0
             sup = (jnp.abs(d_line) < 1.5) * wgt_all[t, :, ti]
+            sup_cnt = jnp.sum(sup > 0)  # supporting edge-pixel count
             # extent along the line direction (-s, c)
             tpos = -xc.reshape(-1) * s + yc.reshape(-1) * c
             wsum = jnp.sum(sup)
@@ -173,10 +174,11 @@ def detect_segments(mag, ang, edge, h: int, w: int, max_out: int = 96,
             p0 = jnp.stack([rho0 * c - tmin * s, rho0 * s + tmin * c])
             p1 = jnp.stack([rho0 * c - tmax * s, rho0 * s + tmax * c])
             length = tmax - tmin
-            # density: support per unit length
-            dens = wsum / jnp.maximum(length, 1.0)
+            # density gate: supporting pixels per unit length (thin edges → ≈1)
+            dens = sup_cnt / jnp.maximum(length, 1.0)
             off = jnp.stack([tx[t].astype(dtype) + TILE / 2, ty[t].astype(dtype) + TILE / 2])
-            return jnp.concatenate([p0 + off, p1 + off]), wsum, (length > min_len) & (wsum > min_support) & (dens > 0.5)
+            ok_seg = (length > min_len) & (sup_cnt > min_support) & (dens > 0.6)
+            return jnp.concatenate([p0 + off, p1 + off]), wsum, ok_seg
 
         return jax.vmap(one)(jnp.arange(TOP_K))
 

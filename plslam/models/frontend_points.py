@@ -100,9 +100,19 @@ def shi_tomasi_grid(img, occupied_uv, occupied_valid, cell: int, max_out: int):
     occ = jnp.zeros((nch * ncw,), img.dtype).at[occ_cell].max(occupied_valid)
     best_score = best_score * (1.0 - occ)
 
+    # cross-cell min-dist NMS (the reference's greedy `setMask`, batched):
+    # a candidate dies if a strictly better one sits within `cell` pixels
+    pts = jnp.stack([cx.astype(img.dtype), cy.astype(img.dtype)], axis=-1)
+    d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    close = d2 < float(cell) ** 2
+    sc_j, sc_i = best_score[None, :], best_score[:, None]
+    jidx = jnp.arange(best_score.shape[0])
+    better = (sc_j > sc_i) | ((sc_j == sc_i) & (jidx[None, :] < jidx[:, None]))
+    dead = jnp.any(close & better & (sc_j > 0), axis=1)
+    best_score = best_score * (1.0 - dead)
+
     top = jnp.argsort(-best_score)[:max_out]
-    uv = jnp.stack([cx[top].astype(img.dtype), cy[top].astype(img.dtype)], axis=-1)
-    return uv, best_score[top]
+    return pts[top], best_score[top]
 
 
 # ----------------------------------------------------------------- tracking
@@ -256,6 +266,8 @@ class FrontendPoints:
         self.ids = np.full(max_cnt, -1, np.int64)
         self.track_cnt = np.zeros(max_cnt, np.int64)
         self.prev_norm = np.zeros((max_cnt, 2), np.float64)
+        self.prev_norm_prev_frame = np.zeros((max_cnt, 2), np.float64)
+        self.had_prev_frame = np.zeros(max_cnt, bool)
         self.prev_t = None
         self.next_id = 0
         self._key = jax.random.PRNGKey(7)
@@ -317,12 +329,14 @@ class FrontendPoints:
                 self.prev_norm[slots] = np.asarray(
                     lift(self.cam, jnp.asarray(self.prev_uv[slots], self.dtype)), np.float64
                 )
-        # velocities (`undistortedPoints`)
+        # per-feature normalized-coordinate velocity (`undistortedPoints`)
         vel = np.zeros_like(self.prev_norm)
-        if self.prev_t is not None and self.prev_pyr is not None:
+        if self.prev_t is not None:
             dt = max(t - self.prev_t, 1e-6)
-            moved = self.prev_valid & (self.track_cnt > 1)
-            vel[moved] = 0.0  # velocity = (cur - prev_norm_at_prev_frame)/dt, set below
+            moved = self.prev_valid & self.had_prev_frame
+            vel[moved] = (self.prev_norm[moved] - self.prev_norm_prev_frame[moved]) / dt
+        self.prev_norm_prev_frame = self.prev_norm.copy()
+        self.had_prev_frame = self.prev_valid.copy()
         self.prev_pyr = pyr
         self.prev_t = t
         out = self.prev_valid

@@ -15,6 +15,109 @@ from plslam.io.synthetic import SyntheticSequence
 from plslam.models.estimator import Estimator
 
 
+def run_euroc(
+    seq_path: str,
+    config: PLSlamConfig | None = None,
+    use_lines: bool = True,
+    loop_closure: bool | None = None,
+    max_frames: int | None = None,
+    progress: bool = False,
+):
+    """Full pipeline on an EuRoC ASL sequence: image frontends → estimator →
+    pose graph (the whole reference launch graph in one loop — SURVEY.md §1).
+
+    Returns (ts, ps, qs, estimator, pose_graph)."""
+    import jax.numpy as jnp
+
+    from plslam.io.euroc import EurocSequence
+    from plslam.models.frontend_lines import FrontendLines
+    from plslam.models.frontend_points import FrontendPoints
+    from plslam.models.pose_graph import PoseGraph
+    from plslam.ops.cameras import PinholeRadTan
+
+    config = config or PLSlamConfig()
+    loop_closure = config.loop.loop_closure if loop_closure is None else loop_closure
+    seq = EurocSequence.load(seq_path)
+    cam = PinholeRadTan.create(
+        config.camera.fx, config.camera.fy, config.camera.cx, config.camera.cy,
+        config.camera.k1, config.camera.k2, config.camera.p1, config.camera.p2,
+    )
+    est = Estimator(config)
+    fp = FrontendPoints(cam, max_cnt=config.tracker.max_cnt,
+                        min_dist=config.tracker.min_dist,
+                        f_thresh_px=config.tracker.f_threshold,
+                        focal=config.solver.focal_length)
+    fLines = FrontendLines(cam, max_lines=config.tracker.max_lines) if use_lines else None
+    pgraph = PoseGraph(config.loop, focal=config.solver.focal_length) if loop_closure else None
+
+    stride = max(1, round(20 / config.tracker.freq))  # FREQ control on 20 Hz camera
+    frame_idx = range(0, len(seq.cam_t), stride)
+    if max_frames is not None:
+        frame_idx = list(frame_idx)[:max_frames]
+
+    ts_out, ps_out, qs_out = [], [], []
+    imu_i = 0
+    prev_imu_t = None
+    for k in frame_idx:
+        t = seq.cam_t[k]
+        while imu_i < len(seq.imu_t) and seq.imu_t[imu_i] <= t + 1e-9:
+            dt = (seq.imu_t[imu_i] - prev_imu_t) if prev_imu_t is not None else 0.005
+            est.process_imu(dt, seq.imu_acc[imu_i], seq.imu_gyr[imu_i])
+            prev_imu_t = seq.imu_t[imu_i]
+            imu_i += 1
+        img = seq.image(k)
+        if config.tracker.equalize:
+            img = _clahe(img)
+        ids, pts, vel, uv = fp.process(img, t)
+        ln_ids = ln_segs = None
+        if fLines is not None:
+            ln_ids, ln_segs = fLines.process(img, t)
+        m = est.process_frame(float(t), ids, pts, vel, ln_ids, ln_segs)
+        if est.initialized:
+            tt, p, q = est.latest_pose()
+            if pgraph is not None and m.get("keyframe"):
+                pgraph.add_keyframe(tt, p, q, img=img, cam=cam)
+                if pgraph._pending_opt:
+                    pgraph.optimize()
+                p, q = pgraph.correct(p, q)
+            ts_out.append(tt)
+            ps_out.append(p)
+            qs_out.append(q)
+        if progress and k % 100 == 0:
+            print(f"[{k}] t={t:.2f} init={est.initialized} pts={m.get('n_pts')} lines={m.get('n_lines')}")
+    return np.asarray(ts_out), np.asarray(ps_out), np.asarray(qs_out), est, pgraph
+
+
+def _clahe(img, clip=3.0, tiles=8):
+    """Contrast-limited adaptive histogram equalization
+    (`cv::createCLAHE(3.0, 8x8)` equivalent, host numpy)."""
+    h, w = img.shape
+    th, tw = h // tiles, w // tiles
+    out = np.empty_like(img)
+    luts = np.empty((tiles, tiles, 256), np.float32)
+    for i in range(tiles):
+        for j in range(tiles):
+            tile = img[i * th : (i + 1) * th, j * tw : (j + 1) * tw]
+            hist, _ = np.histogram((tile * 255).astype(np.uint8), bins=256, range=(0, 256))
+            excess = np.maximum(hist - clip * tile.size / 256, 0).sum()
+            hist = np.minimum(hist, clip * tile.size / 256) + excess / 256
+            cdf = np.cumsum(hist)
+            luts[i, j] = (cdf / cdf[-1]).astype(np.float32)
+    # bilinear interpolation between tile LUTs
+    ys = np.clip((np.arange(h) - th / 2) / th, 0, tiles - 1.001)
+    xs = np.clip((np.arange(w) - tw / 2) / tw, 0, tiles - 1.001)
+    y0 = ys.astype(int)
+    x0 = xs.astype(int)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    v = (img * 255).astype(np.uint8)
+    l00 = luts[y0[:, None], x0[None, :], v]
+    l01 = luts[y0[:, None], np.minimum(x0 + 1, tiles - 1)[None, :], v]
+    l10 = luts[np.minimum(y0 + 1, tiles - 1)[:, None], x0[None, :], v]
+    l11 = luts[np.minimum(y0 + 1, tiles - 1)[:, None], np.minimum(x0 + 1, tiles - 1)[None, :], v]
+    return (l00 * (1 - fx) * (1 - fy) + l01 * fx * (1 - fy) + l10 * (1 - fx) * fy + l11 * fx * fy).astype(np.float32)
+
+
 def run_synthetic(
     seq: SyntheticSequence,
     config: PLSlamConfig | None = None,
@@ -29,7 +132,22 @@ def run_synthetic(
     frame_stride=2 turns the 20 Hz camera stream into the reference's 10 Hz
     processing rate (`FREQ` frequency control, SURVEY.md §2.1).
     Returns (ts, ps, qs, estimator)."""
+    import dataclasses
+
+    from plslam.config import ExtrinsicConfig
+    from plslam.utils.geometry import quat_to_rot
+
     config = config or PLSlamConfig()
+    # the estimator must use the simulator's body_T_cam, not the config default
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    config = dataclasses.replace(
+        config,
+        extrinsic=ExtrinsicConfig(
+            estimate_extrinsic=config.extrinsic.estimate_extrinsic,
+            rot=tuple(R_bc.reshape(-1).tolist()),
+            trans=tuple(np.array(seq.p_bc).tolist()),
+        ),
+    )
     est = Estimator(config)
 
     imu_t = np.asarray(seq.imu_t)

@@ -24,7 +24,11 @@ def window():
     nw = LAY.nw
     delta = np.zeros(LAY.dim)
     delta[6 : nw * 6] = rng.standard_normal((nw - 1) * 6) * 0.005
-    delta[LAY.off_sb : LAY.off_ext] = rng.standard_normal(nw * 9) * 0.005
+    sb = rng.standard_normal((nw, 9))
+    sb[:, 0:3] *= 0.01
+    sb[:, 3:6] *= 5e-5
+    sb[:, 6:9] *= 5e-6
+    delta[LAY.off_sb : LAY.off_ext] = sb.reshape(-1)
     pert = retract(state, jnp.asarray(delta), LAY)
     return state, pert, f
 

@@ -77,7 +77,13 @@ def test_optimize_recovers_ground_truth(window):
     dth[0] = 0
     delta = np.zeros(LAY.dim)
     delta[: nw * 6] = np.concatenate([dp, dth], axis=-1).reshape(-1)
-    delta[LAY.off_sb : LAY.off_ext] = rng.standard_normal(nw * 9) * 0.01
+    # velocity 1 cm/s; biases at their random-walk scale (large bias jolts
+    # put the window solve in a different basin — true of the reference too)
+    sb = rng.standard_normal((nw, 9))
+    sb[:, 0:3] *= 0.01  # velocity: cm/s dead-reckoning error
+    sb[:, 3:6] *= 5e-5  # accel bias: random-walk scale (larger jolts put the
+    sb[:, 6:9] *= 5e-6  # gyro bias:  solve in an LM-crawl valley — ref. too)
+    delta[LAY.off_sb : LAY.off_ext] = sb.reshape(-1)
     delta[LAY.off_depth : LAY.off_line] = rng.standard_normal(LAY.max_f) * 0.005
     delta[LAY.off_line :] = rng.standard_normal(LAY.max_l * 4) * 0.01
     state_pert = retract(state_gt, jnp.asarray(delta), LAY)
