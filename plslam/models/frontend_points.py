@@ -254,12 +254,14 @@ class FrontendPoints:
     """Host orchestration (`FeatureTracker` class equivalent)."""
 
     def __init__(self, cam: PinholeRadTan, max_cnt=150, min_dist=30, f_thresh_px=1.0,
-                 focal=460.0, dtype=jnp.float32):
+                 focal=460.0, dtype=jnp.float32, use_pallas: bool | None = None):
         self.cam = cam
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.dtype = dtype
+        # Pallas LK kernel on TPU; fused-XLA jnp implementation elsewhere
+        self.use_pallas = jax.default_backend() == "tpu" if use_pallas is None else use_pallas
         self.prev_pyr = None
         self.prev_uv = np.zeros((max_cnt, 2), np.float64)
         self.prev_valid = np.zeros(max_cnt, bool)
@@ -278,11 +280,20 @@ class FrontendPoints:
         img_j = jnp.asarray(img, self.dtype)
         pyr = build_pyramid(img_j)
         if self.prev_pyr is not None and self.prev_valid.any():
-            uv, status = lk_track(
-                self.prev_pyr, pyr,
-                jnp.asarray(self.prev_uv, self.dtype),
-                jnp.asarray(self.prev_valid),
-            )
+            if self.use_pallas:
+                from plslam.ops.kernels.lk import lk_track_pallas
+
+                uv, status = lk_track_pallas(
+                    self.prev_pyr, pyr,
+                    jnp.asarray(self.prev_uv, self.dtype),
+                    jnp.asarray(self.prev_valid),
+                )
+            else:
+                uv, status = lk_track(
+                    self.prev_pyr, pyr,
+                    jnp.asarray(self.prev_uv, self.dtype),
+                    jnp.asarray(self.prev_valid),
+                )
             uv = np.asarray(uv, np.float64)
             status = np.asarray(status)
             # fundamental RANSAC on normalized coords

@@ -335,7 +335,10 @@ def try_initialize(est) -> bool:
     if len(accs) > 10:
         g_var = np.var(np.linalg.norm(np.stack(accs), axis=1))
         if g_var < 0.06:
-            return False  # not enough excitation (`initialStructure` check)
+            # the reference logs "IMU excitation not enough!" but proceeds
+            # (the gate is commented out in the lineage) — alignment's own
+            # scale/gravity sanity checks do the actual rejection
+            pass
 
     rel = _relative_pose(est)
     if rel is None:

@@ -125,7 +125,8 @@ def marginalize_old(
 ) -> Prior:
     """MARGIN_OLD: absorb frame 0 (pose+speedbias) and its landmarks into a
     new linear prior, already re-indexed for the subsequent window shift."""
-    focal, eps = cfg.focal_length, cfg.eig_eps
+    focal = cfg.focal_length
+    eps = cfg.eig_eps if state.p.dtype == jnp.float64 else max(cfg.eig_eps, 1e-5)
     pt_w, ln_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
     zero = jnp.zeros((lay.dim,), state.p.dtype)
 
@@ -190,7 +191,7 @@ def marginalize_second_new(
     (its visual terms are simply discarded; its preintegration is merged by
     the caller — the reference's `slideWindowNew` path). Speed/bias columns
     alias to the merged frame exactly as the reference's address relabelling."""
-    eps = cfg.eig_eps
+    eps = cfg.eig_eps if f.prior_J.dtype == jnp.float64 else max(cfg.eig_eps, 1e-5)
     nw = lay.nw
     H = f.prior_J.T @ f.prior_J
     b = f.prior_J.T @ f.prior_r0

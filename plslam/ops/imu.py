@@ -172,20 +172,25 @@ def bias_corrected_delta(pre: Preintegration, ba, bg):
     return alpha, beta, gamma
 
 
-def sqrt_info_from_cov(P, jitter=1e-10):
+def sqrt_info_from_cov(P, jitter=None):
     """Whitening matrix S with SᵀS = P⁻¹. The reference formed
-    `LLT(covariance.inverse()).matrixL().transpose()`; we take the better
-    -conditioned equivalent S = L⁻¹ with P = L Lᵀ (triangular inverse —
-    no explicit P⁻¹)."""
+    `LLT(covariance.inverse()).matrixL().transpose()`; we factor the
+    diagonally-SCALED covariance instead (unit diagonal → Cholesky is
+    well-conditioned even in float32, where the raw diag spans ~11 decades
+    between position and bias-random-walk blocks):
+        P = D P̃ D,  P̃ = chol → L̃L̃ᵀ,  S = L̃⁻¹ D⁻¹.
+    """
     dtype = P.dtype
+    if jitter is None:
+        jitter = 1e-10 if dtype == jnp.float64 else 1e-6
     n = P.shape[0]
     P = 0.5 * (P + P.T)
-    # relative jitter: covariance blocks span ~14 orders of magnitude
-    # (position vs. bias random walk), so absolute regularisation would
-    # swamp the small eigenvalues
-    P = P + jitter * jnp.diag(jnp.maximum(jnp.diag(P), 1e-30))
-    L = jnp.linalg.cholesky(P)
-    return jax.scipy.linalg.solve_triangular(L, jnp.eye(n, dtype=dtype), lower=True)
+    d = jnp.maximum(jnp.diag(P), 1e-30)
+    s = 1.0 / jnp.sqrt(d)  # D⁻¹ diagonal
+    Pn = P * s[:, None] * s[None, :]
+    Pn = Pn + jitter * jnp.eye(n, dtype=dtype)
+    Ln = jnp.linalg.cholesky(Pn)
+    return jax.scipy.linalg.solve_triangular(Ln, jnp.diag(s), lower=True)
 
 
 def imu_residual(p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, ba_j, bg_j, pre: Preintegration, g):
