@@ -78,8 +78,14 @@ class EurocSequence:
 
 
 def load_gray(path: str) -> np.ndarray:
-    """PNG → float32 [H,W] in [0,1]. Uses PIL if available, else imageio,
-    else a minimal PNG reader via zlib (EuRoC PNGs are 8-bit grayscale)."""
+    """PNG → float32 [H,W] in [0,1]. Prefers the native C++ decoder
+    (native/dataloader.cpp), then PIL / imageio, then a stdlib zlib reader
+    (EuRoC PNGs are 8-bit grayscale)."""
+    from plslam.io import native
+
+    img = native.load_png_gray(path)
+    if img is not None:
+        return img
     try:
         from PIL import Image
 

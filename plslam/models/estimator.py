@@ -130,6 +130,8 @@ class Estimator:
         self.metrics: list[dict] = []
         self._last_factors = None
         self._last_state = None
+        self.relo: Optional[dict] = None  # pending relocalization frame
+        self.relo_result: Optional[dict] = None  # refined relative pose out
 
     # ---------------------------------------------------------------- inputs
     def process_imu(self, dt: float, acc, gyr):
@@ -252,6 +254,47 @@ class Estimator:
         self.metrics.append(m)
         return m
 
+    # --------------------------------------------------------- relocalization
+    def set_relo_frame(self, match_ids, match_obs_norm, relo_p, relo_q):
+        """`Estimator::setReloFrame`: register an old keyframe's matched
+        feature observations (by global feature id, normalized coords in the
+        old camera) + its pose guess. The next window solve adds relo
+        projection factors and refines the old pose jointly; the refined
+        relative transform lands in `self.relo_result`."""
+        mf = self.cfg.max_features
+        obs = np.zeros((mf, 2))
+        mask = np.zeros(mf)
+        slot_of = {int(i): s for s, i in enumerate(self.pt_table.ids) if i >= 0}
+        n = 0
+        for fid, ob in zip(match_ids, match_obs_norm):
+            s = slot_of.get(int(fid))
+            if s is not None:
+                obs[s] = ob
+                mask[s] = 1.0
+                n += 1
+        if n < 8:
+            return False
+        self.relo = dict(obs=obs, mask=mask, p=np.asarray(relo_p, np.float64),
+                         q=np.asarray(relo_q, np.float64))
+        return True
+
+    def _extract_relo_result(self, st: WindowState):
+        """Relative pose old-kf ← newest window frame after the joint solve
+        (the reference's `relo_relative_t/q` published back to the pose graph)."""
+        from plslam.utils.geometry import quat_conj, quat_mul, quat_rotate
+
+        nw = self.cfg.window_size
+        q_old = np.array(st.relo_q, np.float64)
+        p_old = np.array(st.relo_p, np.float64)
+        q_cur = np.array(st.q[nw], np.float64)
+        p_cur = np.array(st.p[nw], np.float64)
+        q_rel = np.asarray(quat_mul(quat_conj(jnp.asarray(q_old)), jnp.asarray(q_cur)))
+        t_rel = np.asarray(
+            quat_rotate(quat_conj(jnp.asarray(q_old)), jnp.asarray(p_cur - p_old))
+        )
+        self.relo_result = dict(t=t_rel, q=q_rel, p_old=p_old, q_old=q_old)
+        self.relo = None
+
     # ------------------------------------------------------------ device I/O
     def _device_state(self) -> WindowState:
         st = zero_state(self.cfg, self.dtype)
@@ -264,6 +307,8 @@ class Estimator:
             p_bc=jnp.asarray(self.p_bc, self.dtype),
             q_bc=jnp.asarray(self.q_bc, self.dtype),
             td=jnp.asarray(self.td, self.dtype),
+            relo_p=jnp.asarray(self.relo["p"] if self.relo else np.zeros(3), self.dtype),
+            relo_q=jnp.asarray(self.relo["q"] if self.relo else np.array([1.0, 0, 0, 0]), self.dtype),
             inv_depth=jnp.asarray(
                 np.where(self.pt_table.inv_depth > 0, self.pt_table.inv_depth, 0.2), self.dtype
             ),
@@ -307,6 +352,12 @@ class Estimator:
             ln_mask=jnp.asarray(self.ln_table.mask.astype(np.float64), dtype),
             ln_valid=jnp.asarray(ln_used.astype(np.float64), dtype),
         )
+        if self.relo is not None:
+            f = f._replace(
+                relo_obs=jnp.asarray(self.relo["obs"], dtype),
+                relo_mask=jnp.asarray(self.relo["mask"], dtype),
+                relo_valid=jnp.ones((), dtype),
+            )
         if self.prior is not None:
             f = marg.install_prior(f, self.prior)
         return f
@@ -381,6 +432,8 @@ class Estimator:
         self._writeback(st_out)
         self._last_factors = f
         self._last_state = st_out
+        if self.relo is not None:
+            self._extract_relo_result(st_out)
         return stats
 
     def _reject_outliers(self):
@@ -466,6 +519,22 @@ class Estimator:
         self.timestamps[:-1] = self.timestamps[1:]
 
     # ---------------------------------------------------------------- output
+    def window_points(self, frame: int | None = None):
+        """(ids, norm_obs [n,2], world_3d [n,3]) of triangulated features
+        observed in `frame` (default: newest) — the keyframe payload the
+        reference published on `/keyframe_point` (SURVEY.md §3.3)."""
+        k = self.cfg.window_size if frame is None else frame
+        tbl = self.pt_table
+        sel = np.nonzero(tbl.used_in_solver() & tbl.mask[:, k])[0]
+        if len(sel) == 0:
+            return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
+        st = self._last_state if self._last_state is not None else self._device_state()
+        f = self._last_factors if self._last_factors is not None else self._factors()
+        from plslam.models.residuals import _world_points
+
+        p_w = np.asarray(_world_points(st, f), np.float64)
+        return tbl.ids[sel].copy(), tbl.obs[sel, k].copy(), p_w[sel]
+
     def latest_pose(self):
         k = self.cfg.window_size if self.initialized else max(min(self.frame_count, self.cfg.window_size) - 1, 0)
         return self.timestamps[k], self.p[k].copy(), self.q[k].copy()

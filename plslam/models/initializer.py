@@ -321,6 +321,41 @@ def _refine_gravity(est, p_cl, q_bl, g0):
     return g, s, vels
 
 
+# ----------------------------------------------------- extrinsic calibration
+def calibrate_extrinsic_rotation(q_cam_deltas, q_imu_deltas):
+    """`InitialEXRotation::CalibrationExRotation` (SURVEY.md §2.3): hand-eye
+    quaternion least squares for R_bc from paired camera/IMU rotation deltas.
+
+    Solves  q_imu_k ⊗ q_bc = q_bc ⊗ q_cam_k  for all k via the stacked
+    4×4 [L(q_imu) − R(q_cam)] system; smallest singular vector = q_bc.
+    Returns (q_bc [wxyz], ok) — ok when the second-smallest singular value is
+    well separated (enough rotational excitation)."""
+    rows = []
+    for qi, qc in zip(q_imu_deltas, q_cam_deltas):
+        w, x, y, z = [float(v) for v in qi]
+        L = np.array([
+            [w, -x, -y, -z],
+            [x, w, -z, y],
+            [y, z, w, -x],
+            [z, -y, x, w],
+        ])
+        w, x, y, z = [float(v) for v in qc]
+        R = np.array([
+            [w, -x, -y, -z],
+            [x, w, z, -y],
+            [y, -z, w, x],
+            [z, y, -x, w],
+        ])
+        rows.append(L - R)
+    A = np.concatenate(rows, axis=0)
+    _, S, Vt = np.linalg.svd(A)
+    q = Vt[-1]
+    if q[0] < 0:
+        q = -q
+    ok = len(q_imu_deltas) >= 8 and S[-2] > 0.25
+    return q / np.linalg.norm(q), bool(ok)
+
+
 # ----------------------------------------------------------------- top level
 def try_initialize(est) -> bool:
     """`initialStructure()` + `visualInitialAlign()`."""

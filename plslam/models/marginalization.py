@@ -92,6 +92,7 @@ def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w):
         ),
         pt_valid=f.pt_valid * (f.pt_start == 0).astype(f.pt_valid.dtype),
         ln_valid=f.ln_valid * f.ln_mask[:, 0],
+        relo_valid=jnp.zeros((), f.pt_valid.dtype),  # relo factors never marginalize
     )
     return res.residual_stack(state, f_m, lay, focal, pt_w, ln_w)
 
@@ -127,7 +128,7 @@ def marginalize_old(
     new linear prior, already re-indexed for the subsequent window shift."""
     focal = cfg.focal_length
     eps = cfg.eig_eps if state.p.dtype == jnp.float64 else max(cfg.eig_eps, 1e-5)
-    pt_w, ln_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
+    pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c)
     zero = jnp.zeros((lay.dim,), state.p.dtype)
 
     def r_fn(delta):

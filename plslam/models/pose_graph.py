@@ -156,12 +156,16 @@ class PoseGraph:
         self.yaw_drift = 0.0
         self.loop_count = 0
         self._pending_opt = False
+        self.last_match = None  # match_points payload for the estimator
 
     # ------------------------------------------------------------- keyframes
-    def add_keyframe(self, t, p_w, q_w, img=None, win_uv=None, win_pts3d=None, cam=None):
+    def add_keyframe(self, t, p_w, q_w, img=None, win_uv=None, win_pts3d=None, cam=None,
+                     win_ids=None):
         """`addKeyFrame(cur_kf, detect_loop=1)`. p/q: VIO body pose (world).
         img: grayscale float image for BRIEF (optional → loop detection off).
-        win_pts3d: 3D window points (world) with their pixel uv for PnP."""
+        win_uv/win_pts3d/win_ids: the estimator's window points at this
+        keyframe — pixel coords, world 3D, global feature ids (the
+        `computeWindowBRIEFPoint` inputs; ids flow back via match_points)."""
         if self.n >= self.cfg.max_keyframes:
             return None
         k = self.n
@@ -186,11 +190,19 @@ class PoseGraph:
             self.edges.append(dict(i=i, j=k, t=rel_t, yaw=rel_yaw, w=1.0 if back == 1 else 0.6, loop=0))
 
         loop = None
+        self.last_match = None
         if img is not None:
             img_j = jnp.asarray(img, jnp.float32)
-            uv, valid, desc, gdesc = kdb.extract_keyframe_features(img_j, extra_uv=win_uv)
-            entry = dict(uv=uv, valid=valid, desc=desc, pts3d=win_pts3d, cam=cam,
-                         win_uv=win_uv, img_shape=img.shape)
+            uv, valid, desc, gdesc = kdb.extract_keyframe_features(img_j)
+            # window-point descriptors (`computeWindowBRIEFPoint`)
+            win_desc = None
+            if win_uv is not None and len(win_uv):
+                wv = jnp.ones((len(win_uv),), jnp.float32)
+                win_desc, _ = kdb.brief_descriptors(img_j, jnp.asarray(win_uv, jnp.float32), wv)
+                win_desc = np.asarray(win_desc)
+            entry = dict(uv=uv, valid=valid, desc=desc, cam=cam,
+                         win_uv=win_uv, win_ids=win_ids, win_pts3d=win_pts3d,
+                         win_desc=win_desc, img_shape=img.shape)
             old = self.db.query(gdesc, exclude_last=self.cfg.min_loop_gap)
             self.db.add(entry, gdesc)
             if old is not None:
@@ -202,22 +214,22 @@ class PoseGraph:
         return loop
 
     def _find_connection(self, old_idx, cur_idx, cur_entry):
-        """`KeyFrame::findConnection`: BRIEF matching (Hamming<80) between the
-        OLD keyframe's 3D window points and current corners → PnP RANSAC →
-        inlier/yaw/translation gates → 4-DoF loop edge."""
+        """`KeyFrame::findConnection`: the CURRENT keyframe's window points
+        (with estimator feature ids + world 3D) match by BRIEF (Hamming<80)
+        into the OLD keyframe's dense corners (`searchByBRIEFDes`); PnP RANSAC
+        on (current world 3D ↔ old normalized 2D) recovers the OLD keyframe's
+        pose in the current world → loop edge + `match_points` for the
+        estimator's relocalization (stored in `self.last_match`)."""
         old = self.db.entries[old_idx]
-        if old.get("pts3d") is None or len(old["pts3d"]) == 0:
+        if cur_entry.get("win_desc") is None or cur_entry.get("win_pts3d") is None:
             return None
-        cam = cur_entry.get("cam")
-        if cam is None:
+        cam = cur_entry.get("cam") or old.get("cam")
+        if cam is None or old.get("desc") is None:
             return None
-        # match old window-point descriptors (first rows of old desc) to all
-        # current corners
-        n_old = min(len(old["pts3d"]), len(old["desc"]))
-        d_old = jnp.asarray(old["desc"][:n_old])
-        d_cur = jnp.asarray(cur_entry["desc"])
-        dist = np.asarray(kdb.hamming_matrix(d_old, d_cur))
-        dist[:, ~cur_entry["valid"]] = 999
+        d_cur = jnp.asarray(cur_entry["win_desc"])
+        d_old = jnp.asarray(old["desc"])
+        dist = np.asarray(kdb.hamming_matrix(d_cur, d_old))
+        dist[:, ~old["valid"]] = 999
         best = dist.argmin(axis=1)
         bestd = dist.min(axis=1)
         good = bestd < self.cfg.desc_hamming_thresh
@@ -225,34 +237,45 @@ class PoseGraph:
             return None
         from plslam.ops.cameras import lift
 
-        pts3d = np.asarray(old["pts3d"])[:n_old][good]
-        uv_cur = cur_entry["uv"][best[good]]
-        norm_cur = np.asarray(lift(cam, jnp.asarray(uv_cur, jnp.float32)), np.float64)
-        out = kdb.pnp_ransac(pts3d, norm_cur, min_inliers=self.cfg.min_pnp_inliers)
+        pts3d = np.asarray(cur_entry["win_pts3d"])[good]
+        uv_old = old["uv"][best[good]]
+        norm_old = np.asarray(lift(cam, jnp.asarray(uv_old, jnp.float32)), np.float64)
+        out = kdb.pnp_ransac(pts3d, norm_old, min_inliers=self.cfg.min_pnp_inliers)
         if out is None:
             return None
         R_cw, t_cw, inl = out
-        # camera pose → world_T_cam → world_T_body of the CURRENT frame as
-        # seen from the OLD map; loop edge = old_T_cur in old's yaw frame
+        # OLD keyframe's camera pose in the CURRENT world frame
         R_wc = R_cw.T
         p_wc = -R_cw.T @ t_cw
-        # body pose: w_T_b = w_T_c ∘ (b_T_c)⁻¹ — assume identity b_T_c for the
-        # keyframe pipeline (uv were body-cam pixels); small extrinsic error is
-        # absorbed by the PGO's robust loss
-        p_w_cur = p_wc
-        R_w_cur = R_wc
+        # body ≈ cam for the keyframe pipeline (extrinsic absorbed by PGO loss)
+        p_w_old = p_wc
+        R_w_old = R_wc
+        # loop edge old→cur: relative measured via the recovered old pose and
+        # the CURRENT VIO pose
+        j = cur_idx
         i = old_idx
-        Ri = np.asarray(quat_to_rot(jnp.asarray(self.vio_q[i])))
-        rel_t = Ri.T @ (p_w_cur - self.vio_p[i])
-        yaw_cur = float(np.asarray(rot_to_ypr(jnp.asarray(R_w_cur)))[0])
-        yaw_i = float(np.asarray(rot_to_ypr(jnp.asarray(Ri)))[0])
-        rel_yaw = yaw_cur - yaw_i
+        rel_t = R_w_old.T @ (self.vio_p[j] - p_w_old)
+        yaw_old = float(np.asarray(rot_to_ypr(jnp.asarray(R_w_old)))[0])
+        yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(jnp.asarray(self.vio_q[j]))))[0])
+        rel_yaw = yaw_j - yaw_old
         # gates (`findConnection`)
-        if abs(((rel_yaw - (self.opt_yaw[cur_idx] - self.opt_yaw[i])) + np.pi) % (2 * np.pi) - np.pi) > np.deg2rad(self.cfg.max_loop_yaw_deg):
+        if abs(((rel_yaw - (self.opt_yaw[j] - self.opt_yaw[i])) + np.pi) % (2 * np.pi) - np.pi) > np.deg2rad(self.cfg.max_loop_yaw_deg):
             return None
         if np.linalg.norm(rel_t) > self.cfg.max_loop_translation:
             return None
-        return dict(i=i, j=cur_idx, t=rel_t, yaw=rel_yaw, w=2.0, loop=1)
+        # match_points for the estimator (`/pose_graph/match_points`):
+        # current-window feature ids + their normalized obs in the OLD camera
+        ids = np.asarray(cur_entry["win_ids"]) if cur_entry.get("win_ids") is not None else None
+        if ids is not None:
+            sel = np.nonzero(good)[0][inl]
+            self.last_match = dict(
+                ids=ids[sel],
+                obs_old=norm_old[inl],
+                p_old=p_w_old,
+                q_old=np.asarray(rot_to_quat(jnp.asarray(R_w_old))),
+                old_idx=i, cur_idx=j,
+            )
+        return dict(i=i, j=j, t=rel_t, yaw=rel_yaw, w=2.0, loop=1)
 
     # ------------------------------------------------------------------- PGO
     def optimize(self, iters=12):

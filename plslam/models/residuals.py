@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from plslam.models.state import TangentLayout, WindowState, box_minus_cam, cam_poses
 from plslam.ops import imu as imu_ops
 from plslam.ops.lines import line_projection_residual, plucker_transform
-from plslam.utils.geometry import pose_inverse, quat_rotate, quat_to_rot
+from plslam.utils.geometry import pose_inverse, quat_mul, quat_rotate, quat_to_rot
 
 
 class WindowFactors(NamedTuple):
@@ -50,6 +50,10 @@ class WindowFactors(NamedTuple):
     ln_obs: jnp.ndarray  # [MAX_L,NW,4] normalized (sx,sy,ex,ey)
     ln_mask: jnp.ndarray  # [MAX_L,NW] float 0/1
     ln_valid: jnp.ndarray  # [MAX_L] float 0/1
+    # --- relocalization (`setReloFrame` match points against an old keyframe) ---
+    relo_obs: jnp.ndarray  # [MAX_F,2] normalized obs of window features in the old kf
+    relo_mask: jnp.ndarray  # [MAX_F] float 0/1 matched
+    relo_valid: jnp.ndarray  # [] float 0/1
     # --- marginalization prior (camera-side dims DC) ---
     prior_J: jnp.ndarray  # [DC,DC]
     prior_r0: jnp.ndarray  # [DC]
@@ -86,6 +90,9 @@ def empty_factors(cfg, lay: TangentLayout, dtype=jnp.float32) -> WindowFactors:
         ln_obs=jnp.zeros((ML, NW, 4), dtype),
         ln_mask=jnp.zeros((ML, NW), dtype),
         ln_valid=jnp.zeros((ML,), dtype),
+        relo_obs=jnp.zeros((MF, 2), dtype),
+        relo_mask=jnp.zeros((MF,), dtype),
+        relo_valid=jnp.zeros((), dtype),
         prior_J=jnp.zeros((DC, DC), dtype),
         prior_r0=jnp.zeros((DC,), dtype),
         prior_valid=jnp.zeros((), dtype),
@@ -126,6 +133,21 @@ def imu_residuals(state: WindowState, f: WindowFactors) -> jnp.ndarray:
     return jax.vmap(one)(jnp.arange(f.imu_valid.shape[0]))
 
 
+def _world_points(state: WindowState, f: WindowFactors) -> jnp.ndarray:
+    """[MF,3] world positions of all point features (anchor frame + inverse
+    depth — the shared front half of every projection factor)."""
+    start = f.pt_start  # [MF]
+    u_i = jnp.take_along_axis(f.pt_obs, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]  # [MF,2]
+    v_i = jnp.take_along_axis(f.pt_vel, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]
+    u_i = u_i - state.td * v_i  # td shift of the anchor observation
+    depth = 1.0 / jnp.where(jnp.abs(state.inv_depth) > 1e-6, state.inv_depth, 1e-6)  # [MF]
+    p_ci = jnp.concatenate([u_i, jnp.ones_like(u_i[:, :1])], axis=-1) * depth[:, None]  # [MF,3]
+    q_i = state.q[start]  # [MF,4]
+    p_i = state.p[start]
+    p_b = quat_rotate(jnp.broadcast_to(state.q_bc, q_i.shape), p_ci) + state.p_bc
+    return quat_rotate(q_i, p_b) + p_i  # [MF,3]
+
+
 def point_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.ndarray:
     """[MAX_F,NW,2] whitened point reprojection residuals
     (`ProjectionFactor::Evaluate` / `ProjectionTdFactor`, SURVEY.md §A.3),
@@ -133,19 +155,8 @@ def point_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.n
     """
     NW = state.p.shape[0]
     dtype = state.p.dtype
-    # start-frame quantities per feature
-    start = f.pt_start  # [MF]
-    u_i = jnp.take_along_axis(f.pt_obs, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]  # [MF,2]
-    v_i = jnp.take_along_axis(f.pt_vel, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]
-    u_i = u_i - state.td * v_i  # td shift of the anchor observation
-    depth = 1.0 / jnp.where(jnp.abs(state.inv_depth) > 1e-6, state.inv_depth, 1e-6)  # [MF]
-    p_ci = jnp.concatenate([u_i, jnp.ones_like(u_i[:, :1])], axis=-1) * depth[:, None]  # [MF,3]
-
-    # anchor camera→world: x_w = R_wb_i (R_bc x_c + p_bc) + p_i
-    q_i = state.q[start]  # [MF,4]
-    p_i = state.p[start]
-    p_b = quat_rotate(jnp.broadcast_to(state.q_bc, q_i.shape), p_ci) + state.p_bc
-    p_w = quat_rotate(q_i, p_b) + p_i  # [MF,3]
+    start = f.pt_start
+    p_w = _world_points(state, f)  # [MF,3]
 
     # world→ every window camera
     p_cb, q_cb = pose_inverse(jnp.broadcast_to(state.p_bc, (NW, 3)), jnp.broadcast_to(state.q_bc, (NW, 4)))
@@ -189,6 +200,26 @@ def line_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.nd
     return r * m[..., None] * (focal / 1.5)
 
 
+def relo_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.ndarray:
+    """[MAX_F,2] whitened relocalization residuals: window feature world
+    points projected into the relo (old-keyframe) camera vs their matched
+    observations there (the relo `ProjectionFactor`s of
+    `Estimator::optimization` — SURVEY.md §3.3/§3.4)."""
+    dtype = state.p.dtype
+    p_w = _world_points(state, f)  # [MF,3]
+    # relo body pose → relo camera
+    q_wc = quat_mul(state.relo_q, state.q_bc)
+    p_wc = state.relo_p + quat_rotate(state.relo_q, state.p_bc)
+    p_cw, q_cw = pose_inverse(p_wc, q_wc)
+    x_c = quat_rotate(jnp.broadcast_to(q_cw, (p_w.shape[0], 4)), p_w) + p_cw
+    z = x_c[:, 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-5, jnp.sign(z) * 1e-5 + (z == 0) * 1e-5, z)
+    pred = x_c[:, 0:2] / z_safe
+    r = pred - f.relo_obs
+    m = f.relo_mask * f.pt_valid * f.relo_valid * (x_c[:, 2] > 1e-3).astype(dtype)
+    return r * m[:, None] * (focal / 1.5)
+
+
 def prior_residual(state: WindowState, f: WindowFactors, lay: TangentLayout) -> jnp.ndarray:
     """[DC] marginalization prior residual r₀ + J₀·(x ⊟ x₀)
     (`MarginalizationFactor::Evaluate`)."""
@@ -203,10 +234,11 @@ def residual_stack(
     focal: float,
     pt_w: jnp.ndarray | None = None,
     ln_w: jnp.ndarray | None = None,
+    relo_w: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Full whitened residual vector. `pt_w`/`ln_w` are per-observation robust
-    (IRLS √Cauchy) weights treated as constants during linearization — the
-    JAX equivalent of Ceres' loss-function rescaling of (J, r)."""
+    """Full whitened residual vector. `pt_w`/`ln_w`/`relo_w` are per
+    -observation robust (IRLS √Cauchy) weights treated as constants during
+    linearization — the JAX equivalent of Ceres' loss-function rescaling."""
     r_imu = imu_residuals(state, f).reshape(-1)
     r_pt = point_residuals(state, f, focal)
     if pt_w is not None:
@@ -214,8 +246,11 @@ def residual_stack(
     r_ln = line_residuals(state, f, focal)
     if ln_w is not None:
         r_ln = r_ln * ln_w[..., None]
+    r_relo = relo_residuals(state, f, focal)
+    if relo_w is not None:
+        r_relo = r_relo * relo_w[:, None]
     r_pr = prior_residual(state, f, lay)
-    return jnp.concatenate([r_pr, r_imu, r_pt.reshape(-1), r_ln.reshape(-1)])
+    return jnp.concatenate([r_pr, r_imu, r_pt.reshape(-1), r_ln.reshape(-1), r_relo.reshape(-1)])
 
 
 def cauchy_weights(r2, c: float):
@@ -229,6 +264,8 @@ def robust_weights(state: WindowState, f: WindowFactors, focal: float, cauchy_c:
     """Per-observation IRLS weights from the current (unweighted) residuals."""
     r_pt = point_residuals(state, f, focal)
     r_ln = line_residuals(state, f, focal)
+    r_relo = relo_residuals(state, f, focal)
     pt_w = cauchy_weights(jnp.sum(r_pt * r_pt, axis=-1), cauchy_c)
     ln_w = cauchy_weights(jnp.sum(r_ln * r_ln, axis=-1), cauchy_c)
-    return pt_w, ln_w
+    relo_w = cauchy_weights(jnp.sum(r_relo * r_relo, axis=-1), cauchy_c)
+    return pt_w, ln_w, relo_w

@@ -53,17 +53,18 @@ def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
         m = m.at[lay.off_td].set(0.0)
     for k in freeze_frames:
         m = m.at[lay.off_pose + 6 * k : lay.off_pose + 6 * (k + 1)].set(0.0)
+    m = m.at[lay.off_relo : lay.off_depth].set(f.relo_valid)
     m = m.at[lay.off_depth : lay.off_line].set(f.pt_valid)
     ln = jnp.repeat(f.ln_valid, 4)
     m = m.at[lay.off_line :].set(ln)
     return m
 
 
-def linearize(state, f, lay, focal, pt_w, ln_w, mask):
+def linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w=None):
     zero = jnp.zeros((lay.dim,), state.p.dtype)
 
     def r_fn(delta):
-        return res.residual_stack(retract(state, delta * mask, lay), f, lay, focal, pt_w, ln_w)
+        return res.residual_stack(retract(state, delta * mask, lay), f, lay, focal, pt_w, ln_w, relo_w)
 
     r0 = r_fn(zero)
     J = jax.jacfwd(r_fn)(zero)
@@ -143,19 +144,19 @@ def optimize_window(
     focal = cfg.focal_length
     mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td, freeze_frames)
 
-    pt_w0, ln_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c)
-    cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0))
+    pt_w0, ln_w0, relo_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c)
+    cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0, relo_w0))
 
     def step(_, carry):
         state, lam, cost, naccept = carry
-        pt_w, ln_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
-        r, J = linearize(state, f, lay, focal, pt_w, ln_w, mask)
+        pt_w, ln_w, relo_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
+        r, J = linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w)
         H = J.T @ J
         b = J.T @ r
         delta = schur_solve(H, b, lay, lam, mask)
         state_try = retract(state, delta, lay)
         cost_here = cost_of(r)
-        cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w))
+        cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w, relo_w))
         accept = cost_try < cost_here
         state = jax.tree.map(lambda a, c: jnp.where(accept, a, c), state_try, state)
         lam = jnp.where(
@@ -191,4 +192,6 @@ def reanchor(state_new: WindowState, state_ref: WindowState) -> WindowState:
     q = quat_mul(jnp.broadcast_to(q_z, state_new.q.shape), state_new.q)
     v = state_new.v @ Rz.T
     line = plucker_transform(state_new.line, Rz, t)
-    return state_new._replace(p=p, q=q, v=v, line=line)
+    relo_p = Rz @ state_new.relo_p + t
+    relo_q = quat_mul(q_z, state_new.relo_q)
+    return state_new._replace(p=p, q=q, v=v, line=line, relo_p=relo_p, relo_q=relo_q)

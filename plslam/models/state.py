@@ -34,6 +34,8 @@ class WindowState(NamedTuple):
     p_bc: jnp.ndarray  # [3] extrinsic: body_T_cam translation
     q_bc: jnp.ndarray  # [4] extrinsic rotation
     td: jnp.ndarray  # [] camera-IMU time offset
+    relo_p: jnp.ndarray  # [3] relocalization pose (old keyframe body in world)
+    relo_q: jnp.ndarray  # [4]  — `Estimator::setReloFrame`'s relo_Pose block
     inv_depth: jnp.ndarray  # [MAX_F] inverse depth in first observing frame
     line: jnp.ndarray  # [MAX_L,6] world-frame Plücker lines
 
@@ -46,10 +48,11 @@ class TangentLayout(NamedTuple):
     off_sb: int
     off_ext: int
     off_td: int
+    off_relo: int
     off_depth: int
     off_line: int
     dim: int
-    dim_cam: int  # pose-side dim (poses+sb+ext+td) — the Schur "camera" block
+    dim_cam: int  # pose-side dim (poses+sb+ext+td+relo) — the Schur "camera" block
 
 
 def layout(cfg: SolverConfig) -> TangentLayout:
@@ -58,12 +61,13 @@ def layout(cfg: SolverConfig) -> TangentLayout:
     off_sb = off_pose + nw * 6
     off_ext = off_sb + nw * 9
     off_td = off_ext + 6
-    off_depth = off_td + 1
+    off_relo = off_td + 1
+    off_depth = off_relo + 6
     off_line = off_depth + cfg.max_features
     dim = off_line + cfg.max_line_feats * 4
     return TangentLayout(
         nw, cfg.max_features, cfg.max_line_feats,
-        off_pose, off_sb, off_ext, off_td, off_depth, off_line, dim, off_depth,
+        off_pose, off_sb, off_ext, off_td, off_relo, off_depth, off_line, dim, off_depth,
     )
 
 
@@ -79,6 +83,8 @@ def zero_state(cfg: SolverConfig, dtype=jnp.float32) -> WindowState:
         p_bc=jnp.zeros(3, dtype),
         q_bc=jnp.asarray([1.0, 0, 0, 0], dtype),
         td=jnp.zeros((), dtype),
+        relo_p=jnp.zeros(3, dtype),
+        relo_q=jnp.asarray([1.0, 0, 0, 0], dtype),
         inv_depth=jnp.full((cfg.max_features,), 0.2, dtype),
         line=_default_lines(cfg.max_line_feats, dtype),
     )
@@ -99,6 +105,7 @@ def retract(state: WindowState, delta: jnp.ndarray, lay: TangentLayout) -> Windo
     dsb = delta[lay.off_sb : lay.off_ext].reshape(nw, 9)
     dext = delta[lay.off_ext : lay.off_td]
     dtd = delta[lay.off_td]
+    drelo = delta[lay.off_relo : lay.off_depth]
     ddep = delta[lay.off_depth : lay.off_line]
     dline = delta[lay.off_line :].reshape(lay.max_l, 4)
     return WindowState(
@@ -110,6 +117,8 @@ def retract(state: WindowState, delta: jnp.ndarray, lay: TangentLayout) -> Windo
         p_bc=state.p_bc + dext[0:3],
         q_bc=quat_box_plus(state.q_bc, dext[3:6]),
         td=state.td + dtd,
+        relo_p=state.relo_p + drelo[0:3],
+        relo_q=quat_box_plus(state.relo_q, drelo[3:6]),
         inv_depth=state.inv_depth + ddep,
         line=orth_retract(state.line, dline),
     )
@@ -126,7 +135,8 @@ def box_minus_cam(state: WindowState, state0: WindowState, lay: TangentLayout) -
     ).reshape(-1)
     ext = jnp.concatenate([state.p_bc - state0.p_bc, quat_box_minus(state.q_bc, state0.q_bc)])
     td = (state.td - state0.td)[None]
-    return jnp.concatenate([pose, sb, ext, td])
+    relo = jnp.concatenate([state.relo_p - state0.relo_p, quat_box_minus(state.relo_q, state0.relo_q)])
+    return jnp.concatenate([pose, sb, ext, td, relo])
 
 
 def cam_poses(state: WindowState):

@@ -114,3 +114,97 @@ def normalized_to_pixel(cam: PinholeRadTan, mn):
     u = cam.fx * md[..., 0] + cam.cx
     v = cam.fy * md[..., 1] + cam.cy
     return jnp.stack([u, v], axis=-1)
+
+
+class EquidistantCamera(NamedTuple):
+    """Kannala-Brandt fisheye (`EquidistantCamera.cc` in the camodocal subset:
+    θ-polynomial r(θ) = θ + k2 θ³ + k3 θ⁵ + k4 θ⁷ + k5 θ⁹)."""
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    k2: jnp.ndarray
+    k3: jnp.ndarray
+    k4: jnp.ndarray
+    k5: jnp.ndarray
+
+    @staticmethod
+    def create(fx, fy, cx, cy, k2=0.0, k3=0.0, k4=0.0, k5=0.0, dtype=jnp.float32):
+        return EquidistantCamera(*[jnp.asarray(v, dtype) for v in (fx, fy, cx, cy, k2, k3, k4, k5)])
+
+
+def equi_project(cam: EquidistantCamera, p_c):
+    """3D camera point -> pixel (`EquidistantCamera::spaceToPlane`)."""
+    x, y, z = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(r, z)
+    t2 = theta * theta
+    rd = theta * (1.0 + t2 * (cam.k2 + t2 * (cam.k3 + t2 * (cam.k4 + t2 * cam.k5))))
+    r_safe = jnp.maximum(r, 1e-12)
+    u = cam.fx * rd * x / r_safe + cam.cx
+    v = cam.fy * rd * y / r_safe + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def equi_lift(cam: EquidistantCamera, uv, iters: int = 8):
+    """Pixel -> undistorted normalized coords (`liftProjective`): Newton on
+    the θ-polynomial, batched + branch-free."""
+    mx = (uv[..., 0] - cam.cx) / cam.fx
+    my = (uv[..., 1] - cam.cy) / cam.fy
+    rd = jnp.sqrt(mx * mx + my * my)
+    theta = rd
+    for _ in range(iters):
+        t2 = theta * theta
+        f = theta * (1.0 + t2 * (cam.k2 + t2 * (cam.k3 + t2 * (cam.k4 + t2 * cam.k5)))) - rd
+        fp = 1.0 + t2 * (3 * cam.k2 + t2 * (5 * cam.k3 + t2 * (7 * cam.k4 + t2 * 9 * cam.k5)))
+        theta = theta - f / jnp.maximum(fp, 1e-6)
+    scale = jnp.tan(theta) / jnp.maximum(rd, 1e-12)
+    return jnp.stack([mx * scale, my * scale], axis=-1)
+
+
+class MeiCamera(NamedTuple):
+    """MEI / unified omnidirectional model (`CataCamera.cc`): unit-sphere
+    projection with mirror parameter ξ + radtan distortion."""
+
+    xi: jnp.ndarray
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+
+    @staticmethod
+    def create(xi, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, dtype=jnp.float32):
+        return MeiCamera(*[jnp.asarray(v, dtype) for v in (xi, fx, fy, cx, cy, k1, k2, p1, p2)])
+
+
+def mei_project(cam: MeiCamera, p_c):
+    """(`CataCamera::spaceToPlane`)."""
+    n = jnp.linalg.norm(p_c, axis=-1, keepdims=True)
+    s = p_c / jnp.maximum(n, 1e-12)  # unit sphere
+    denom = jnp.maximum(s[..., 2:3] + cam.xi, 1e-6)
+    mn = s[..., 0:2] / denom
+    dcam = PinholeRadTan(cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2)
+    md = distort(dcam, mn)
+    u = cam.fx * md[..., 0] + cam.cx
+    v = cam.fy * md[..., 1] + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def mei_lift(cam: MeiCamera, uv, iters: int = 8):
+    """(`CataCamera::liftProjective`): undistort (Newton on radtan), then
+    invert the sphere projection to a normalized z=1 ray."""
+    dcam = PinholeRadTan(cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2)
+    mn = lift(dcam, uv, iters)
+    r2 = jnp.sum(mn * mn, axis=-1, keepdims=True)
+    xi = cam.xi
+    # sphere point: solve for the ray through (mn, 1) intersecting the sphere
+    disc = jnp.maximum(1.0 + (1.0 - xi * xi) * r2, 0.0)
+    lam = (xi + jnp.sqrt(disc)) / (1.0 + r2)
+    z = lam - xi
+    xy = lam * mn
+    return xy / jnp.maximum(z, 1e-6)

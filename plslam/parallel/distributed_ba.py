@@ -65,6 +65,7 @@ def _visual_residual(state, pt, ln, focal):
         pt_obs=pt_obs, pt_vel=pt_vel, pt_mask=pt_mask, pt_start=pt_start,
         pt_valid=pt_valid,
         ln_obs=ln_obs, ln_mask=ln_mask, ln_valid=ln_valid,
+        relo_obs=None, relo_mask=None, relo_valid=None,
         prior_J=None, prior_r0=None, prior_valid=None,
         prior_p=None, prior_q=None, prior_v=None, prior_ba=None, prior_bg=None,
         prior_p_bc=None, prior_q_bc=None, prior_td=None,
@@ -90,6 +91,8 @@ def _retract_local(state: WindowState, dc, dd, dl) -> WindowState:
         p_bc=state.p_bc + dext[0:3],
         q_bc=quat_box_plus(state.q_bc, dext[3:6]),
         td=state.td + dtd,
+        relo_p=state.relo_p,
+        relo_q=state.relo_q,
         inv_depth=state.inv_depth + dd,
         line=orth_retract(state.line, dl),
     )

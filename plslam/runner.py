@@ -76,7 +76,19 @@ def run_euroc(
         if est.initialized:
             tt, p, q = est.latest_pose()
             if pgraph is not None and m.get("keyframe"):
-                pgraph.add_keyframe(tt, p, q, img=img, cam=cam)
+                ids_w, norm_w, pts3d_w = est.window_points()
+                from plslam.ops.cameras import normalized_to_pixel
+
+                uv_w = np.asarray(normalized_to_pixel(cam, jnp.asarray(norm_w, jnp.float32)), np.float64) if len(ids_w) else None
+                loop = pgraph.add_keyframe(
+                    tt, p, q, img=img, cam=cam,
+                    win_uv=uv_w, win_pts3d=pts3d_w, win_ids=ids_w,
+                )
+                if loop is not None and pgraph.last_match is not None:
+                    # relocalization feedback (`/pose_graph/match_points` →
+                    # `setReloFrame`): next solve refines the loop jointly
+                    mm = pgraph.last_match
+                    est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"])
                 if pgraph._pending_opt:
                     pgraph.optimize()
                 p, q = pgraph.correct(p, q)
@@ -90,7 +102,12 @@ def run_euroc(
 
 def _clahe(img, clip=3.0, tiles=8):
     """Contrast-limited adaptive histogram equalization
-    (`cv::createCLAHE(3.0, 8x8)` equivalent, host numpy)."""
+    (`cv::createCLAHE(3.0, 8x8)` equivalent; native C++ with numpy fallback)."""
+    from plslam.io import native
+
+    out = native.clahe(img, clip, tiles)
+    if out is not None:
+        return out
     h, w = img.shape
     th, tw = h // tiles, w // tiles
     out = np.empty_like(img)

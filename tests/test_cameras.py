@@ -30,3 +30,28 @@ def test_project_batch_shapes():
     p = jnp.ones((4, 7, 3))
     assert cameras.project(cam, p).shape == (4, 7, 2)
     assert cameras.lift(cam, jnp.ones((4, 7, 2))).shape == (4, 7, 2)
+
+
+def test_equidistant_roundtrip():
+    cam = cameras.EquidistantCamera.create(
+        280.0, 280.0, 376.0, 240.0, -0.012, 0.021, -0.013, 0.002, dtype=jnp.float64
+    )
+    rng = np.random.default_rng(1)
+    # rays up to ~60° off-axis (fisheye regime)
+    mn = jnp.asarray(rng.uniform(-1.5, 1.5, (200, 2)))
+    p_c = jnp.concatenate([mn, jnp.ones((200, 1))], axis=-1)
+    uv = cameras.equi_project(cam, p_c)
+    mn2 = cameras.equi_lift(cam, uv, iters=12)
+    np.testing.assert_allclose(mn2, mn, atol=1e-8)
+
+
+def test_mei_roundtrip():
+    cam = cameras.MeiCamera.create(
+        0.9, 470.0, 470.0, 376.0, 240.0, -0.08, 0.02, 1e-4, -1e-4, dtype=jnp.float64
+    )
+    rng = np.random.default_rng(2)
+    mn = jnp.asarray(rng.uniform(-0.6, 0.6, (200, 2)))
+    p_c = jnp.concatenate([mn, jnp.ones((200, 1))], axis=-1) * rng.uniform(1, 8, (200, 1))
+    uv = cameras.mei_project(cam, p_c)
+    mn2 = cameras.mei_lift(cam, uv, iters=20)
+    np.testing.assert_allclose(mn2, mn, atol=1e-6)
