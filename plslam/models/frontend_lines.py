@@ -283,19 +283,72 @@ def match_lbd(desc1, segs1, valid1, desc2, segs2, valid2):
 class FrontendLines:
     """Host orchestration (`LineFeatureTracker` equivalent)."""
 
-    def __init__(self, cam: PinholeRadTan, max_lines=64, dtype=jnp.float32):
+    def __init__(self, cam: PinholeRadTan, max_lines=64, dtype=jnp.float32, octaves=2):
         self.cam = cam
         self.max_lines = max_lines
         self.dtype = dtype
+        self.octaves = octaves  # LSDDetector's scale pyramid (`numOctaves`)
         self.prev = None  # (segs, desc, valid, ids)
         self.next_id = 0
+
+    def _detect_multiscale(self, img_j):
+        """Detect on an octave pyramid and merge (the reference's
+        `LSDDetector::detect` scale loop): coarse octaves find long
+        low-contrast structure the fine octave splits or misses."""
+        h, w = img_j.shape
+        all_segs, all_scores = [], []
+        cur = img_j
+        for o in range(self.octaves):
+            mag, ang, edge = edge_map(cur)
+            segs, score, valid = detect_segments(
+                mag, ang, edge, *cur.shape, max_out=self.max_lines
+            )
+            s = float(2**o)
+            segs = np.asarray(segs, np.float64) * s
+            keep = np.asarray(valid)
+            all_segs.append(segs[keep])
+            all_scores.append(np.asarray(score)[keep] * s)
+            if o + 1 < self.octaves:
+                k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img_j.dtype) / 16.0
+                from plslam.models.frontend_points import _sep_conv
+
+                cur = _sep_conv(cur, k)[::2, ::2]
+        segs = np.concatenate(all_segs) if all_segs else np.zeros((0, 4))
+        score = np.concatenate(all_scores) if all_scores else np.zeros(0)
+        # cross-octave duplicate suppression (keep strongest)
+        order = np.argsort(-score)
+        segs, score = segs[order], score[order]
+        kept = []
+        for i in range(len(segs)):
+            mid = 0.5 * (segs[i, 0:2] + segs[i, 2:4])
+            ang_i = np.arctan2(segs[i, 3] - segs[i, 1], segs[i, 2] - segs[i, 0]) % np.pi
+            dup = False
+            for j in kept:
+                mj = 0.5 * (segs[j, 0:2] + segs[j, 2:4])
+                aj = np.arctan2(segs[j, 3] - segs[j, 1], segs[j, 2] - segs[j, 0]) % np.pi
+                if np.linalg.norm(mid - mj) < 20.0 and abs((ang_i - aj + np.pi / 2) % np.pi - np.pi / 2) < 0.12:
+                    dup = True
+                    break
+            if not dup:
+                kept.append(i)
+            if len(kept) >= self.max_lines:
+                break
+        out = np.zeros((self.max_lines, 4))
+        val = np.zeros(self.max_lines, bool)
+        sc = np.zeros(self.max_lines)
+        for n, i in enumerate(kept):
+            out[n] = segs[i]
+            sc[n] = score[i]
+            val[n] = True
+        return out, sc, val
 
     def process(self, img: np.ndarray, t: float):
         """One frame tick. Returns (ids, normalized segments [n,4])."""
         img_j = jnp.asarray(img, self.dtype)
         h, w = img.shape
-        mag, ang, edge = edge_map(img_j)
-        segs, score, valid = detect_segments(mag, ang, edge, h, w, max_out=self.max_lines)
+        segs, score, valid = self._detect_multiscale(img_j)
+        segs = jnp.asarray(segs, self.dtype)
+        valid = jnp.asarray(valid)
         gx, gy = _scharr(img_j)
         desc = lbd_descriptors(gx, gy, segs, valid.astype(self.dtype))
 

@@ -207,6 +207,121 @@ def lk_track(pyr_prev, pyr_cur, pts_prev, valid, levels: int = LK_LEVELS, iters:
 
 
 # ------------------------------------------------------------------- RANSAC
+LK_MARGIN = 4  # max integer motion per level inside one window (px)
+WIN = 2 * LK_WIN + 1  # full patch size (21)
+HALF = LK_WIN
+
+
+@partial(jax.jit, static_argnames=("levels", "iters"))
+def lk_track_fast(pyr_prev, pyr_cur, pts_prev, valid, levels: int = LK_LEVELS, iters: int = LK_ITERS):
+    """Fully-batched pyramidal LK — the speed-of-light formulation.
+
+    One window gather per feature per level; every GN iteration is then pure
+    batched matmuls: bilinear sampling of the patch at a fractional offset is
+    expressed as row/col selection matrices (two one-hot matrices blended by
+    the fraction), so the iteration loop is [N,21,28]·[N,28,28]·[N,28,21]
+    einsums on the MXU — no gathers, no per-feature programs. Per-level
+    motion is bounded by LK_MARGIN (the pyramid absorbs large motion, as in
+    cv::calcOpticalFlowPyrLK's window clamping).
+    """
+    dtype = pts_prev.dtype
+    n = pts_prev.shape[0]
+    S_T = WIN + 3  # template window (23×23 patch + 1 slack)
+    S_C = WIN + 2 * LK_MARGIN + 1  # current window
+
+    def sel(frac, base_i, out_size, in_size):
+        """[N,out,in] bilinear row-selector: rows pick base_i+u with weights
+        (1-frac, frac) on the two integer neighbours."""
+        u = jnp.arange(out_size)
+        idx = base_i[:, None] + u[None, :]  # [N,out]
+        e0 = jax.nn.one_hot(idx, in_size, dtype=dtype)
+        e1 = jax.nn.one_hot(idx + 1, in_size, dtype=dtype)
+        f = frac[:, None, None]
+        return (1.0 - f) * e0 + f * e1  # [N,out,in]
+
+    def gather_windows(img, tl, size):
+        return jax.vmap(
+            lambda c: jax.lax.dynamic_slice(img, (c[1], c[0]), (size, size))
+        )(tl)
+
+    guess = pts_prev
+    err = jnp.zeros((n,), dtype)
+    ok_all = jnp.ones((n,), bool)
+    for level in range(levels - 1, -1, -1):
+        scale = 2.0**level
+        prev = pyr_prev[level]
+        cur = pyr_cur[level]
+        H, W = prev.shape
+        p0 = pts_prev / scale
+        g = guess / scale
+
+        # --- template: 23×23 patch (+1 ring) at fixed fractional offset ---
+        t_f = p0 - (HALF + 1)
+        t_i = jnp.floor(t_f)
+        t_frac = t_f - t_i
+        tl_t = jnp.clip(t_i.astype(jnp.int32), 0, jnp.asarray([W - S_T, H - S_T]))
+        # border features get a clipped (shifted) template and die via the
+        # residual gate — same behaviour as the per-feature kernel
+        slack_t = jnp.clip(t_i.astype(jnp.int32) - tl_t, 0, S_T - WIN - 3)
+        Wt = gather_windows(prev, tl_t, S_T)  # [N,24,24]
+        Rt = sel(t_frac[:, 1], slack_t[:, 1], WIN + 2, S_T)
+        Ct = sel(t_frac[:, 0], slack_t[:, 0], WIN + 2, S_T)
+        T23 = jnp.einsum("nab,nbc,ndc->nad", Rt, Wt, Ct)  # [N,23,23]
+        T = T23[:, 1 : WIN + 1, 1 : WIN + 1]
+        Tx = 0.5 * (T23[:, 1 : WIN + 1, 2 : WIN + 2] - T23[:, 1 : WIN + 1, 0:WIN])
+        Ty = 0.5 * (T23[:, 2 : WIN + 2, 1 : WIN + 1] - T23[:, 0:WIN, 1 : WIN + 1])
+        H00 = jnp.sum(Tx * Tx, axis=(1, 2))
+        H01 = jnp.sum(Tx * Ty, axis=(1, 2))
+        H11 = jnp.sum(Ty * Ty, axis=(1, 2))
+        det = H00 * H11 - H01 * H01
+        ok = det > 1e-6
+        det_safe = jnp.where(ok, det, 1.0)
+
+        # --- current window centred on the initial guess for this level ---
+        c_tl = jnp.floor(g - HALF).astype(jnp.int32) - LK_MARGIN
+        c_tl = jnp.clip(c_tl, 0, jnp.asarray([W - S_C, H - S_C]))
+        Wc = gather_windows(cur, c_tl, S_C)  # [N,S_C,S_C]
+        lo = c_tl.astype(dtype) + HALF  # guess bounds within the window
+        hi = c_tl.astype(dtype) + S_C - 1 - HALF - 1
+
+        def body(_, gi):
+            gc = jnp.clip(gi, lo, hi)
+            a = gc - HALF - c_tl.astype(dtype)  # patch top-left inside window
+            ia = jnp.floor(a).astype(jnp.int32)
+            fa = a - ia.astype(dtype)
+            Rc = sel(fa[:, 1], ia[:, 1], WIN, S_C)
+            Cc = sel(fa[:, 0], ia[:, 0], WIN, S_C)
+            I = jnp.einsum("nab,nbc,ndc->nad", Rc, Wc, Cc)
+            e = I - T
+            b0 = jnp.sum(e * Tx, axis=(1, 2))
+            b1 = jnp.sum(e * Ty, axis=(1, 2))
+            du = (H11 * b0 - H01 * b1) / det_safe
+            dv = (-H01 * b0 + H00 * b1) / det_safe
+            return gc - jnp.stack([du, dv], axis=-1)
+
+        g = jax.lax.fori_loop(0, iters, body, g)
+        g = jnp.clip(g, lo, hi)
+
+        # final residual
+        a = g - HALF - c_tl.astype(dtype)
+        ia = jnp.floor(a).astype(jnp.int32)
+        fa = a - ia.astype(dtype)
+        Rc = sel(fa[:, 1], ia[:, 1], WIN, S_C)
+        Cc = sel(fa[:, 0], ia[:, 0], WIN, S_C)
+        I = jnp.einsum("nab,nbc,ndc->nad", Rc, Wc, Cc)
+        err = jnp.mean(jnp.abs(I - T), axis=(1, 2))
+        ok_all = ok_all & ok
+        guess = g * scale
+
+    H0, W0 = pyr_cur[0].shape
+    inb = (
+        (guess[:, 0] > HALF) & (guess[:, 0] < W0 - HALF)
+        & (guess[:, 1] > HALF) & (guess[:, 1] < H0 - HALF)
+    )
+    status = valid & ok_all & inb & (err < 0.12)
+    return guess, status
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def fundamental_ransac(p1, p2, valid, thresh, iters: int = 100, key=None):
     """Batched 8-point fundamental-matrix RANSAC (`rejectWithF`).
@@ -260,8 +375,9 @@ class FrontendPoints:
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.dtype = dtype
-        # Pallas LK kernel on TPU; fused-XLA jnp implementation elsewhere
-        self.use_pallas = jax.default_backend() == "tpu" if use_pallas is None else use_pallas
+        # default tracker: the batched-matmul LK (fastest everywhere); the
+        # per-feature Pallas kernel stays available for comparison
+        self.use_pallas = False if use_pallas is None else use_pallas
         self.prev_pyr = None
         self.prev_uv = np.zeros((max_cnt, 2), np.float64)
         self.prev_valid = np.zeros(max_cnt, bool)
@@ -289,7 +405,7 @@ class FrontendPoints:
                     jnp.asarray(self.prev_valid),
                 )
             else:
-                uv, status = lk_track(
+                uv, status = lk_track_fast(
                     self.prev_pyr, pyr,
                     jnp.asarray(self.prev_uv, self.dtype),
                     jnp.asarray(self.prev_valid),

@@ -143,6 +143,7 @@ def run_synthetic(
     max_frames: int | None = None,
     frame_stride: int = 2,
     progress: bool = False,
+    drop_frames: set | None = None,
 ):
     """Feed a synthetic sequence through the estimator.
 
@@ -180,10 +181,13 @@ def run_synthetic(
     gt_q = np.asarray(seq.gt_q)[::frame_stride]
     gt_v = np.asarray(seq.gt_v)[::frame_stride]
 
+    drop_frames = drop_frames or set()  # fault injection (SURVEY.md §5.3)
     ts_out, ps_out, qs_out = [], [], []
     imu_idx = 0
     prev_t = None
     for k, t in enumerate(frame_t):
+        if k in drop_frames:
+            continue  # dropped camera frame; IMU keeps accumulating
         # feed IMU samples up to and including t
         while imu_idx < len(imu_t) and imu_t[imu_idx] <= t + 1e-9:
             if prev_t is None:

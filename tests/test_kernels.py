@@ -49,3 +49,30 @@ def test_lk_pallas_tracks_known_shift():
     both = status & np.asarray(status_j)
     d = np.linalg.norm(out[both] - np.asarray(out_j)[both], axis=1)
     assert np.median(d) < 0.3, np.median(d)
+
+
+def test_lk_fast_matches_reference():
+    """The batched-matmul LK (production path) vs the per-feature reference."""
+    from test_frontend import smooth_texture, shift_image
+
+    rng = np.random.default_rng(5)
+    img1 = smooth_texture(rng)
+    dx, dy = 2.6, 3.1
+    img2 = shift_image(img1, dx, dy)
+    pyr1 = fp.build_pyramid(jnp.asarray(img1))
+    pyr2 = fp.build_pyramid(jnp.asarray(img2))
+    uv, score = fp.shi_tomasi_grid(
+        jnp.asarray(img1), jnp.zeros((1, 2), jnp.float32), jnp.zeros((1,), jnp.float32),
+        cell=24, max_out=40,
+    )
+    uv = np.asarray(uv)[np.asarray(score) > 1e-5][:24]
+    keep = (uv[:, 0] > 30) & (uv[:, 0] < 290) & (uv[:, 1] > 30) & (uv[:, 1] < 210)
+    uv = jnp.asarray(uv[keep], jnp.float32)
+
+    out, status = fp.lk_track_fast(pyr1, pyr2, uv, jnp.ones(len(uv), bool))
+    out = np.asarray(out)
+    status = np.asarray(status)
+    assert status.sum() >= len(uv) * 0.8
+    flow = out[status] - np.asarray(uv)[status]
+    err = np.linalg.norm(flow - np.array([dx, dy]), axis=1)
+    assert np.median(err) < 0.25, np.median(err)

@@ -1,0 +1,46 @@
+"""Fault tolerance: frame drops and corrupted observations must not break the
+pipeline (the reference's restart/failure machinery — SURVEY.md §5.3)."""
+import numpy as np
+import pytest
+
+from plslam.config import PLSlamConfig, SolverConfig
+from plslam.eval.metrics import ate_rmse
+from plslam.io import synthetic
+from plslam.runner import run_synthetic
+
+CONFIG = PLSlamConfig(solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64"))
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.make_sequence(duration=8.0, n_points=140, n_lines=24, seed=13)
+
+
+def test_survives_frame_drops(seq):
+    """Dropped camera frames (merged IMU intervals) must not derail tracking."""
+    drops = {18, 19, 25, 31, 32, 33}
+    ts, ps, qs, est = run_synthetic(
+        seq, CONFIG, oracle_init=True, use_lines=False, drop_frames=drops
+    )
+    assert est.initialized
+    ate = ate_rmse(ts, ps, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
+    assert ate < 0.05, f"ATE {ate:.4f} with frame drops"
+
+
+def test_survives_corrupted_observations(seq):
+    """A burst of grossly wrong feature observations must be rejected by the
+    robust loss + outlier gating (or trigger failure detection) — never crash."""
+    obs = np.asarray(seq.obs).copy()
+    rng = np.random.default_rng(0)
+    bad_frames = range(40, 46)
+    for k in bad_frames:
+        n = obs.shape[1]
+        sel = rng.choice(n, n // 2, replace=False)
+        obs[k, sel] += rng.uniform(0.1, 0.3, (len(sel), 2)) * rng.choice([-1, 1], (len(sel), 2))
+    seq_bad = seq._replace(obs=np.asarray(obs))
+    ts, ps, qs, est = run_synthetic(seq_bad, CONFIG, oracle_init=True, use_lines=False)
+    assert len(ts) > 20  # pipeline kept producing output
+    # the clean first half must still be accurate
+    half = len(ts) // 3
+    ate = ate_rmse(ts[:half], ps[:half], np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
+    assert ate < 0.05, f"clean-prefix ATE {ate:.4f}"
