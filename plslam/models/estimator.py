@@ -191,6 +191,12 @@ class Estimator:
         oracle_state: optional {p,q,v} ground truth for the newest frame —
         bootstrap mode standing in for `initialStructure()` in tests."""
         fc = min(self.frame_count, self.cfg.window_size)
+        # restart handshake (`feature_tracker_node` timestamp-jump detection →
+        # estimator restart_callback): non-monotonic or >1 s gap ⇒ full reset
+        last_t = self.timestamps[max(fc - 1, 0)] if self.frame_count > 0 else None
+        if last_t is not None and (t < last_t - 1e-9 or t - last_t > 1.0):
+            self.clear_state()
+            fc = 0
         self.timestamps[fc] = t
         self._close_interval(fc)
 

@@ -83,18 +83,20 @@ def _sqrt_refactor(H, b, eps):
     return J0, r0
 
 
-def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w):
-    """Residuals of only the factors entering MARGIN_OLD (SURVEY.md §3.3):
-    previous prior + IMU(0→1) + all factors of features/lines seen in frame 0."""
-    f_m = f._replace(
-        imu_valid=f.imu_valid * jnp.arange(f.imu_valid.shape[0] == 0 or f.imu_valid.shape[0]).astype(f.imu_valid.dtype).at[:].set(
-            jnp.where(jnp.arange(f.imu_valid.shape[0]) == 0, 1.0, 0.0)
-        ),
+def _marg_factor_subset(f: res.WindowFactors) -> res.WindowFactors:
+    """Only the factors entering MARGIN_OLD (SURVEY.md §3.3): previous prior
+    + IMU(0→1) + all factors of features/lines seen in frame 0."""
+    return f._replace(
+        imu_valid=f.imu_valid
+        * jnp.where(jnp.arange(f.imu_valid.shape[0]) == 0, 1.0, 0.0).astype(f.imu_valid.dtype),
         pt_valid=f.pt_valid * (f.pt_start == 0).astype(f.pt_valid.dtype),
         ln_valid=f.ln_valid * f.ln_mask[:, 0],
         relo_valid=jnp.zeros((), f.pt_valid.dtype),  # relo factors never marginalize
     )
-    return res.residual_stack(state, f_m, lay, focal, pt_w, ln_w)
+
+
+def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w):
+    return res.residual_stack(state, _marg_factor_subset(f), lay, focal, pt_w, ln_w)
 
 
 def _eliminate_landmarks(H, b, lay: TangentLayout, eps):

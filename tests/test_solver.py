@@ -103,6 +103,36 @@ def test_optimize_recovers_ground_truth(window):
     assert d_err.max() < 2e-3, d_err.max()
 
 
+def test_structured_assembly_matches_dense(window):
+    """The per-factor block assembly must produce the same normal equations
+    as the one-big-jacfwd dense path (same jacobians, different summation)."""
+    from plslam.models import assembly
+
+    state, f = window
+    pt_w, ln_w, relo_w = res.robust_weights(state, f, CFG.focal_length, CFG.cauchy_c)
+    mask = jnp.ones((LAY.dim,))
+    r0, J = solver.linearize(state, f, LAY, CFG.focal_length, pt_w, ln_w, mask, relo_w)
+    H_d = np.asarray(J.T @ J)
+    b_d = np.asarray(J.T @ r0)
+    H_s, b_s, cost_s = assembly.assemble(state, f, LAY, CFG.focal_length, pt_w, ln_w, relo_w)
+    scale_H = np.abs(H_d).max()
+    scale_b = np.abs(b_d).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(H_s), H_d, atol=1e-9 * scale_H)
+    np.testing.assert_allclose(np.asarray(b_s), b_d, atol=1e-9 * scale_b)
+    np.testing.assert_allclose(float(cost_s), float(solver.cost_of(r0)), rtol=1e-10)
+
+
+def test_optimize_structured_matches_dense_solve(window):
+    state_gt, f = window
+    rng = np.random.default_rng(8)
+    delta = np.zeros(LAY.dim)
+    delta[6 : LAY.nw * 6] = rng.standard_normal((LAY.nw - 1) * 6) * 0.005
+    pert = retract(state_gt, jnp.asarray(delta), LAY)
+    st_s, _ = solver.optimize_window(pert, f, LAY, CFG, num_iters=6, structured=True)
+    st_d, _ = solver.optimize_window(pert, f, LAY, CFG, num_iters=6, structured=False)
+    np.testing.assert_allclose(np.asarray(st_s.p), np.asarray(st_d.p), atol=1e-6)
+
+
 def test_optimize_float32(window):
     """The TPU path (f32 normal equations) must stay accurate to ~mm scale."""
     state_gt, f = window
