@@ -369,12 +369,14 @@ class FrontendPoints:
     """Host orchestration (`FeatureTracker` class equivalent)."""
 
     def __init__(self, cam: PinholeRadTan, max_cnt=150, min_dist=30, f_thresh_px=1.0,
-                 focal=460.0, dtype=jnp.float32, use_pallas: bool | None = None):
+                 focal=460.0, dtype=jnp.float32, use_pallas: bool | None = None,
+                 min_score=1e-4):
         self.cam = cam
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.dtype = dtype
+        self.min_score = min_score  # detection quality gate (goodFeaturesToTrack qualityLevel)
         # default tracker: the batched-matmul LK (fastest everywhere); the
         # per-feature Pallas kernel stays available for comparison
         self.use_pallas = False if use_pallas is None else use_pallas
@@ -445,7 +447,7 @@ class FrontendPoints:
             score = np.asarray(score)
             free = np.nonzero(~self.prev_valid)[0]
             take = min(len(free), n_new)
-            sel = np.nonzero(score > 1e-4)[0][:take]
+            sel = np.nonzero(score > self.min_score)[0][:take]
             slots = free[: len(sel)]
             self.prev_uv[slots] = uv_new[sel]
             self.prev_valid[slots] = True
