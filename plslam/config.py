@@ -34,6 +34,7 @@ class TrackerConfig:
     min_dist: int = 30
     freq: int = 10
     f_threshold: float = 1.0
+    min_score: float = 1e-4  # Shi-Tomasi quality gate (goodFeaturesToTrack qualityLevel)
     equalize: bool = True
     fisheye: bool = False
     show_track: bool = False

@@ -179,7 +179,20 @@ def _sfm(est, l, R_nl, t_nl):
     st_out, stats = solver_mod.optimize_window(
         st, f, lay, cfg, num_iters=15, freeze_frames=(l, nw)
     )
-    # re-triangulate with refined poses for robustness
+    # re-triangulate with refined poses
+    inv_d, ok2 = triangulate.triangulate_points(st_out.p, st_out.q, f.pt_obs, f.pt_mask, f.pt_start)
+    st_out = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
+    # refinement pass with a cleaner gauge: only frame ℓ pinned, scale fixed by
+    # anchoring the best-observed feature's depth (the double-pinned bootstrap
+    # bakes 8-point pose error into the reconstruction → init scale bias)
+    import numpy as _np
+
+    nobs = _np.asarray(jnp.sum(f.pt_mask, axis=1) * f.pt_valid)
+    anchor = int(nobs.argmax())
+    pin = jnp.ones((lay.dim,), st.p.dtype).at[lay.off_depth + anchor].set(0.0)
+    st_out, stats = solver_mod.optimize_window(
+        st_out, f, lay, cfg, num_iters=10, freeze_frames=(l,), pin_mask=pin
+    )
     inv_d, ok2 = triangulate.triangulate_points(st_out.p, st_out.q, f.pt_obs, f.pt_mask, f.pt_start)
     st_out = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
     mean_err = float(stats.cost) / max(1.0, float(jnp.sum(f.pt_mask)))

@@ -41,10 +41,10 @@ class SolveStats(NamedTuple):
 
 def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
               estimate_extrinsic: bool, estimate_td: bool,
-              freeze_frames: tuple = ()) -> jnp.ndarray:
+              freeze_frames: tuple = (), extra_pinned: tuple = ()) -> jnp.ndarray:
     """0/1 mask over tangent dims: which deltas the solver may move.
-    `freeze_frames` pins whole poses (used by the SFM bootstrap for gauge +
-    scale fixing, like the reference's SetParameterBlockConstant)."""
+    `freeze_frames` pins whole poses, `extra_pinned` arbitrary tangent dims
+    (the reference's SetParameterBlockConstant)."""
     dtype = f.g.dtype
     m = jnp.ones((lay.dim,), dtype)
     if not estimate_extrinsic:
@@ -57,6 +57,8 @@ def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
     m = m.at[lay.off_depth : lay.off_line].set(f.pt_valid)
     ln = jnp.repeat(f.ln_valid, 4)
     m = m.at[lay.off_line :].set(ln)
+    for d in extra_pinned:
+        m = m.at[d].set(0.0)
     return m
 
 
@@ -128,7 +130,7 @@ def cost_of(r):
     return 0.5 * jnp.sum(r * r)
 
 
-@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters", "freeze_frames", "structured"))
+@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters", "freeze_frames", "structured", "extra_pinned"))
 def optimize_window(
     state: WindowState,
     f: res.WindowFactors,
@@ -139,6 +141,8 @@ def optimize_window(
     num_iters: int = 8,
     freeze_frames: tuple = (),
     structured: bool = False,
+    extra_pinned: tuple = (),
+    pin_mask=None,
 ):
     """Run the windowed LM solve; returns (state', stats). Jitted once per
     static config (`Estimator::optimization()` equivalent).
@@ -151,7 +155,9 @@ def optimize_window(
     from plslam.models import assembly
 
     focal = cfg.focal_length
-    mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td, freeze_frames)
+    mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td, freeze_frames, extra_pinned)
+    if pin_mask is not None:
+        mask = mask * pin_mask  # dynamic pins (no recompilation per pin set)
 
     pt_w0, ln_w0, relo_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c)
     cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0, relo_w0))

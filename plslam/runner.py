@@ -46,7 +46,8 @@ def run_euroc(
     fp = FrontendPoints(cam, max_cnt=config.tracker.max_cnt,
                         min_dist=config.tracker.min_dist,
                         f_thresh_px=config.tracker.f_threshold,
-                        focal=config.camera.fx)  # px→normalized via the real camera
+                        focal=config.camera.fx,  # px→normalized via the real camera
+                        min_score=config.tracker.min_score)
     fLines = FrontendLines(cam, max_lines=config.tracker.max_lines) if use_lines else None
     pgraph = PoseGraph(config.loop, focal=config.solver.focal_length) if loop_closure else None
 

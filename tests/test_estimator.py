@@ -44,13 +44,9 @@ def test_vio_with_pixel_noise(seq):
 
 def test_vio_real_initialization(seq):
     """Full `initialStructure` path: SFM + gyro bias + linear alignment.
-
-    The self-bootstrapped run carries an init transient (~10% scale error
-    from the 11-keyframe alignment, converging as the window slides — the
-    reference shows the same behaviour); the bound reflects that transient.
-    Tightening it (all-frame alignment, longer refinement) is tracked for the
-    accuracy-tuning pass."""
+    The SFM refinement pass (single-pose + depth-anchored gauge) removes the
+    bootstrap scale bias; self-initialized accuracy matches oracle init."""
     ts, ps, qs, est = run_synthetic(seq, CONFIG, oracle_init=False, use_lines=False)
     assert est.initialized, "visual-inertial initialization failed"
     ate = _ate(seq, ts, ps)
-    assert ate < 0.8, f"ATE {ate:.4f} m"
+    assert ate < 0.05, f"ATE {ate:.4f} m"
