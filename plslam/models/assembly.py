@@ -117,7 +117,7 @@ def assemble(state: WindowState, f: res.WindowFactors, lay: TangentLayout,
         td = state.td + d[18]
         lam = state.inv_depth[fi] + d[19]
 
-        u_i = f.pt_obs[fi, i] - td * f.pt_vel[fi, i]
+        u_i = f.pt_obs[fi, i] - (td + f.rs_tr * f.pt_rowf[fi, i]) * f.pt_vel[fi, i]
         depth = 1.0 / jnp.where(jnp.abs(lam) > 1e-6, lam, 1e-6)
         p_ci = jnp.concatenate([u_i, jnp.ones(1, dtype)]) * depth
         p_w = quat_rotate(q_i, quat_rotate(q_bc, p_ci) + p_bc) + p_i
@@ -127,7 +127,7 @@ def assemble(state: WindowState, f: res.WindowFactors, lay: TangentLayout,
         z = x_c[2]
         z_safe = jnp.where(jnp.abs(z) < 1e-5, jnp.sign(z) * 1e-5 + (z == 0) * 1e-5, z)
         pred = x_c[0:2] / z_safe
-        u_j = f.pt_obs[fi, j] - td * f.pt_vel[fi, j]
+        u_j = f.pt_obs[fi, j] - (td + f.rs_tr * f.pt_rowf[fi, j]) * f.pt_vel[fi, j]
         m = base_mask[fi, j] * (z > 1e-3).astype(dtype)
         return (pred - u_j) * m * (focal / 1.5) * pt_w[fi, j]
 
@@ -210,7 +210,7 @@ def assemble(state: WindowState, f: res.WindowFactors, lay: TangentLayout,
         q_bc = quat_box_plus(state.q_bc, d[15:18])
         td = state.td + d[18]
         lam = state.inv_depth[fi] + d[19]
-        u_i = f.pt_obs[fi, i] - td * f.pt_vel[fi, i]
+        u_i = f.pt_obs[fi, i] - (td + f.rs_tr * f.pt_rowf[fi, i]) * f.pt_vel[fi, i]
         depth = 1.0 / jnp.where(jnp.abs(lam) > 1e-6, lam, 1e-6)
         p_ci = jnp.concatenate([u_i, jnp.ones(1, dtype)]) * depth
         p_w = quat_rotate(q_i, quat_rotate(q_bc, p_ci) + p_bc) + p_i

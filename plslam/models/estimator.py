@@ -345,9 +345,22 @@ class Estimator:
             imu_valid=jnp.asarray(vb, dtype), g=self.g,
         )
         pt_used = self.pt_table.used_in_solver()
+        camc = self.config.camera
+        if self.config.temporal.rolling_shutter:
+            # image-row fraction of each observation (row ≈ fy·y_norm + cy)
+            rowf = np.clip(
+                (camc.fy * self.pt_table.obs[..., 1] + camc.cy) / max(camc.image_height, 1),
+                0.0, 1.0,
+            )
+            rs_tr = self.config.temporal.rolling_shutter_tr
+        else:
+            rowf = np.zeros_like(self.pt_table.obs[..., 1])
+            rs_tr = 0.0
         f = f._replace(
             pt_obs=jnp.asarray(self.pt_table.obs, dtype),
             pt_vel=jnp.asarray(self.pt_table.vel, dtype),
+            pt_rowf=jnp.asarray(rowf, dtype),
+            rs_tr=jnp.asarray(rs_tr, dtype),
             pt_mask=jnp.asarray(self.pt_table.mask.astype(np.float64), dtype),
             pt_start=jnp.asarray(self.pt_table.start),
             pt_valid=jnp.asarray(pt_used.astype(np.float64), dtype),

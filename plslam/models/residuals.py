@@ -43,6 +43,8 @@ class WindowFactors(NamedTuple):
     # --- point features ---
     pt_obs: jnp.ndarray  # [MAX_F,NW,2] normalized coords
     pt_vel: jnp.ndarray  # [MAX_F,NW,2] normalized-coord velocity (for td)
+    pt_rowf: jnp.ndarray  # [MAX_F,NW] image-row fraction (rolling shutter)
+    rs_tr: jnp.ndarray  # [] rolling-shutter line-delay total (s); 0 = global shutter
     pt_mask: jnp.ndarray  # [MAX_F,NW] float 0/1 observed
     pt_start: jnp.ndarray  # [MAX_F] int32 first observing frame
     pt_valid: jnp.ndarray  # [MAX_F] float 0/1 active+triangulated
@@ -84,6 +86,8 @@ def empty_factors(cfg, lay: TangentLayout, dtype=jnp.float32) -> WindowFactors:
         g=jnp.asarray([0.0, 0.0, 9.81007], dtype),
         pt_obs=jnp.zeros((MF, NW, 2), dtype),
         pt_vel=jnp.zeros((MF, NW, 2), dtype),
+        pt_rowf=jnp.zeros((MF, NW), dtype),
+        rs_tr=jnp.zeros((), dtype),
         pt_mask=jnp.zeros((MF, NW), dtype),
         pt_start=jnp.zeros((MF,), jnp.int32),
         pt_valid=jnp.zeros((MF,), dtype),
@@ -139,7 +143,10 @@ def _world_points(state: WindowState, f: WindowFactors) -> jnp.ndarray:
     start = f.pt_start  # [MF]
     u_i = jnp.take_along_axis(f.pt_obs, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]  # [MF,2]
     v_i = jnp.take_along_axis(f.pt_vel, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]
-    u_i = u_i - state.td * v_i  # td shift of the anchor observation
+    rowf_i = jnp.take_along_axis(f.pt_rowf, start[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # td + rolling-shutter row-delay shift of the anchor observation
+    # (`ProjectionTdFactor`'s TR·row/ROW term, SURVEY.md §A.3)
+    u_i = u_i - (state.td + f.rs_tr * rowf_i)[:, None] * v_i
     depth = 1.0 / jnp.where(jnp.abs(state.inv_depth) > 1e-6, state.inv_depth, 1e-6)  # [MF]
     p_ci = jnp.concatenate([u_i, jnp.ones_like(u_i[:, :1])], axis=-1) * depth[:, None]  # [MF,3]
     q_i = state.q[start]  # [MF,4]
@@ -169,7 +176,7 @@ def point_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.n
     z = p_cj[..., 2:3]
     z_safe = jnp.where(jnp.abs(z) < 1e-5, jnp.sign(z) * 1e-5 + (z == 0) * 1e-5, z)
     pred = p_cj[..., 0:2] / z_safe  # [MF,NW,2]
-    u_j = f.pt_obs - state.td * f.pt_vel  # td shift of target observations
+    u_j = f.pt_obs - (state.td + f.rs_tr * f.pt_rowf)[..., None] * f.pt_vel  # td+RS shift
     r = pred - u_j  # [MF,NW,2]
 
     # masking: observed, not the anchor frame itself, feature active

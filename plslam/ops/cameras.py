@@ -195,6 +195,68 @@ def mei_project(cam: MeiCamera, p_c):
     return jnp.stack([u, v], axis=-1)
 
 
+class ScaramuzzaCamera(NamedTuple):
+    """Scaramuzza omnidirectional model (`ScaramuzzaCamera.cc`): the camera
+    ray's z-component is a polynomial of the image radius ρ:
+    z(ρ) = a0 + a2 ρ² + a3 ρ³ + a4 ρ⁴ (cam2world); world2cam inverts it by
+    batched Newton. Affine (c, d, e) + center (cx, cy) map sensor↔image."""
+
+    a0: jnp.ndarray
+    a2: jnp.ndarray
+    a3: jnp.ndarray
+    a4: jnp.ndarray
+    c: jnp.ndarray
+    d: jnp.ndarray
+    e: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+
+    @staticmethod
+    def create(a0, a2, a3, a4, c=1.0, d=0.0, e=0.0, cx=0.0, cy=0.0, dtype=jnp.float32):
+        return ScaramuzzaCamera(*[jnp.asarray(v, dtype) for v in (a0, a2, a3, a4, c, d, e, cx, cy)])
+
+
+def _scara_poly(cam: ScaramuzzaCamera, rho):
+    r2 = rho * rho
+    return cam.a0 + r2 * (cam.a2 + rho * (cam.a3 + rho * cam.a4))
+
+
+def _scara_dpoly(cam: ScaramuzzaCamera, rho):
+    return rho * (2.0 * cam.a2 + rho * (3.0 * cam.a3 + rho * 4.0 * cam.a4))
+
+
+def scara_lift(cam: ScaramuzzaCamera, uv):
+    """Pixel -> normalized z=1 coords (`ScaramuzzaCamera::liftProjective`)."""
+    # affine inverse
+    up = uv[..., 0] - cam.cx
+    vp = uv[..., 1] - cam.cy
+    det = cam.c - cam.d * cam.e
+    x = (up - cam.d * vp) / det
+    y = (-cam.e * up + cam.c * vp) / det
+    rho = jnp.sqrt(x * x + y * y)
+    z = _scara_poly(cam, rho)
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    return jnp.stack([x / z_safe, y / z_safe], axis=-1)
+
+
+def scara_project(cam: ScaramuzzaCamera, p_c, iters: int = 12):
+    """3D camera point -> pixel (`ScaramuzzaCamera::spaceToPlane`): solve
+    ρ with Newton on  z(ρ)·r_xy − ρ·z_3d = 0  (ray alignment)."""
+    x, y, z3 = p_c[..., 0], p_c[..., 1], p_c[..., 2]
+    r_xy = jnp.sqrt(x * x + y * y)
+    r_safe = jnp.maximum(r_xy, 1e-12)
+    rho = jnp.full_like(r_xy, 100.0)
+    for _ in range(iters):
+        g = _scara_poly(cam, rho) * r_xy - rho * z3
+        gp = _scara_dpoly(cam, rho) * r_xy - z3
+        rho = rho - g / jnp.where(jnp.abs(gp) < 1e-9, 1e-9, gp)
+    sx = x / r_safe * rho
+    sy = y / r_safe * rho
+    u = sx * cam.c + sy * cam.d + cam.cx
+    v = sx * cam.e + sy + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
 def mei_lift(cam: MeiCamera, uv, iters: int = 8):
     """(`CataCamera::liftProjective`): undistort (Newton on radtan), then
     invert the sphere projection to a normalized z=1 ray."""

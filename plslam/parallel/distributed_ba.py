@@ -62,7 +62,9 @@ def _visual_residual(state, pt, ln, focal):
         imu_alpha=None, imu_beta=None, imu_gamma=None, imu_jac=None,
         imu_sqrt_info=None, imu_dt=None, imu_ba=None, imu_bg=None,
         imu_valid=None, g=jnp.zeros(3, state.p.dtype),
-        pt_obs=pt_obs, pt_vel=pt_vel, pt_mask=pt_mask, pt_start=pt_start,
+        pt_obs=pt_obs, pt_vel=pt_vel,
+        pt_rowf=jnp.zeros(pt_mask.shape, state.p.dtype), rs_tr=jnp.zeros((), state.p.dtype),
+        pt_mask=pt_mask, pt_start=pt_start,
         pt_valid=pt_valid,
         ln_obs=ln_obs, ln_mask=ln_mask, ln_valid=ln_valid,
         relo_obs=None, relo_mask=None, relo_valid=None,

@@ -45,6 +45,20 @@ def test_equidistant_roundtrip():
     np.testing.assert_allclose(mn2, mn, atol=1e-8)
 
 
+def test_scaramuzza_roundtrip():
+    # typical ocam polynomial (z negative-at-center convention folded positive)
+    cam = cameras.ScaramuzzaCamera.create(
+        280.0, -1.5e-3, 6e-7, -2e-10, c=1.001, d=1e-4, e=-2e-4, cx=376.0, cy=240.0,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(3)
+    mn = jnp.asarray(rng.uniform(-0.7, 0.7, (200, 2)))
+    p_c = jnp.concatenate([mn, jnp.ones((200, 1))], axis=-1) * rng.uniform(1, 6, (200, 1))
+    uv = cameras.scara_project(cam, p_c, iters=20)
+    mn2 = cameras.scara_lift(cam, uv)
+    np.testing.assert_allclose(mn2, mn, atol=1e-7)
+
+
 def test_mei_roundtrip():
     cam = cameras.MeiCamera.create(
         0.9, 470.0, 470.0, 376.0, 240.0, -0.08, 0.02, 1e-4, -1e-4, dtype=jnp.float64

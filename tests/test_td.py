@@ -64,3 +64,28 @@ def test_solver_recovers_time_offset():
     )
     td_est = float(st_out.td)
     assert abs(td_est - td_true) < 2e-3, f"td {td_est:.4f} vs {td_true}"
+
+
+def test_rolling_shutter_correction_wiring():
+    """The TR·row/ROW term must undo a row-dependent observation shift
+    (`ProjectionTdFactor` rolling-shutter path)."""
+    import jax.numpy as jnp
+    from plslam.models import residuals as res
+
+    seq = synthetic.make_sequence(duration=6.0, n_points=120, n_lines=8, seed=3)
+    frames = list(range(0, 55, 5))
+    state, f = packing.factors_from_synthetic(seq, frames, CFG, LAY, with_lines=False)
+    rng = np.random.default_rng(1)
+    vel = jnp.asarray(rng.standard_normal(np.asarray(f.pt_obs).shape) * 0.3)
+    rowf = jnp.asarray(rng.uniform(0, 1, np.asarray(f.pt_mask).shape))
+    tr = 0.02
+    # raw observations sampled later by tr*rowf → shifted along their velocity
+    obs_shift = f.pt_obs + tr * rowf[..., None] * vel
+    f_rs = f._replace(pt_obs=obs_shift, pt_vel=vel, pt_rowf=rowf,
+                      rs_tr=jnp.asarray(tr, f.pt_obs.dtype))
+    r = res.point_residuals(state, f_rs, CFG.focal_length)
+    assert float(jnp.abs(r).max()) < 1e-9  # correction exactly undoes the shift
+    # without the correction the residuals are large
+    f_off = f_rs._replace(rs_tr=jnp.zeros((), f.pt_obs.dtype))
+    r2 = res.point_residuals(state, f_off, CFG.focal_length)
+    assert float(jnp.abs(r2).max()) > 0.1
