@@ -179,24 +179,29 @@ def _sfm(est, l, R_nl, t_nl):
     st_out, stats = solver_mod.optimize_window(
         st, f, lay, cfg, num_iters=15, freeze_frames=(l, nw)
     )
-    # re-triangulate with refined poses
     inv_d, ok2 = triangulate.triangulate_points(st_out.p, st_out.q, f.pt_obs, f.pt_mask, f.pt_start)
-    st_out = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
-    # refinement pass with a cleaner gauge: only frame ℓ pinned, scale fixed by
-    # anchoring the best-observed feature's depth (the double-pinned bootstrap
-    # bakes 8-point pose error into the reconstruction → init scale bias)
-    import numpy as _np
-
-    nobs = _np.asarray(jnp.sum(f.pt_mask, axis=1) * f.pt_valid)
-    anchor = int(nobs.argmax())
-    pin = jnp.ones((lay.dim,), st.p.dtype).at[lay.off_depth + anchor].set(0.0)
-    st_out, stats = solver_mod.optimize_window(
-        st_out, f, lay, cfg, num_iters=10, freeze_frames=(l,), pin_mask=pin
-    )
-    inv_d, ok2 = triangulate.triangulate_points(st_out.p, st_out.q, f.pt_obs, f.pt_mask, f.pt_start)
-    st_out = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
+    st_boot = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
+    ok_boot = np.asarray(ok2 & jnp.asarray(used))
     mean_err = float(stats.cost) / max(1.0, float(jnp.sum(f.pt_mask)))
-    return np.asarray(st_out.p), np.asarray(st_out.q), np.asarray(st_out.inv_depth), np.asarray(ok2 & jnp.asarray(used)), mean_err
+
+    # refinement pass with a cleaner gauge: only frame ℓ pinned (the
+    # double-pinned bootstrap bakes the 8-point pose error into the
+    # reconstruction shape). Scale is a free gauge direction — LM damping
+    # keeps it near the bootstrap value and the VI alignment estimates the
+    # metric scale regardless. The refined candidate is only kept if the IMU
+    # alignment finds it more consistent (try_initialize scores both).
+    st_ref, _ = solver_mod.optimize_window(
+        st_boot, f, lay, cfg, num_iters=10, freeze_frames=(l,)
+    )
+    inv_d, ok3 = triangulate.triangulate_points(st_ref.p, st_ref.q, f.pt_obs, f.pt_mask, f.pt_start)
+    st_ref = st_ref._replace(inv_depth=jnp.where(jnp.asarray(ok3), inv_d, st_ref.inv_depth))
+    ok_ref = np.asarray(ok3 & jnp.asarray(used))
+
+    cands = [
+        (np.asarray(st_ref.p), np.asarray(st_ref.q), np.asarray(st_ref.inv_depth), ok_ref),
+        (np.asarray(st_boot.p), np.asarray(st_boot.q), np.asarray(st_boot.inv_depth), ok_boot),
+    ]
+    return cands, mean_err
 
 
 def _slerp(q0, q1, a):
@@ -369,6 +374,31 @@ def calibrate_extrinsic_rotation(q_cam_deltas, q_imu_deltas):
     return q / np.linalg.norm(q), bool(ok)
 
 
+def _alignment_residual(est, p_cl, q_bl, g, s, vels):
+    """Mean squared residual of the linear-alignment equations at the solved
+    (g, s, velocities) — a measurable SFM↔IMU consistency score used to pick
+    between reconstruction candidates."""
+    nw = est.cfg.window_size
+    p_bc = est.p_bc
+    R_bl = np.stack([np.asarray(quat_to_rot(jnp.asarray(q))) for q in q_bl])
+    total = 0.0
+    n = 0
+    for k in range(nw):
+        pre = est.pres[k + 1]
+        if pre is None:
+            return np.inf
+        dt = float(pre["dt_sum"])
+        Ri, Rj = R_bl[k], R_bl[k + 1]
+        r_p = (np.asarray(pre["alpha"]) + Ri.T @ Rj @ p_bc - p_bc
+               - Ri.T @ (s * (p_cl[k + 1] - p_cl[k])) + vels[k] * dt
+               - 0.5 * Ri.T @ g * dt * dt)
+        r_v = (np.asarray(pre["beta"]) - Ri.T @ Rj @ vels[k + 1] + vels[k]
+               - Ri.T @ g * dt)
+        total += float(r_p @ r_p + r_v @ r_v)
+        n += 6
+    return total / max(n, 1)
+
+
 # ----------------------------------------------------------------- top level
 def try_initialize(est) -> bool:
     """`initialStructure()` + `visualInitialAlign()`."""
@@ -393,26 +423,61 @@ def try_initialize(est) -> bool:
         return False
     l, R_nl, t_nl = rel
 
-    p_c, q_c, inv_depth, pt_ok, mean_err = _sfm(est, l, R_nl, t_nl)
+    cands, mean_err = _sfm(est, l, R_nl, t_nl)
     if mean_err > 10.0:
         return False
 
-    # body poses in the ℓ-camera frame: T_cl_bk = T_cl_ck ∘ (T_b_c)⁻¹
     q_bc = jnp.asarray(est.q_bc)
     p_bc = jnp.asarray(est.p_bc)
     q_cb = quat_conj(q_bc)
-    q_bl = np.stack([
-        np.asarray(quat_mul(jnp.asarray(q_c[k]), q_cb)) for k in range(nw + 1)
-    ])
-    p_bl = np.stack([
-        p_c[k] + np.asarray(quat_rotate(jnp.asarray(q_bl[k]), -p_bc)) for k in range(nw + 1)
-    ])
 
-    # gyro bias + repropagate
-    bg = _solve_gyro_bias(est, q_bl)
-    if np.linalg.norm(bg) > 1.0:
+    # Score each SFM candidate (refined gauge first, double-pinned bootstrap
+    # second) by how consistently the IMU alignment explains it. The bootstrap
+    # is the conservative default: the refined gauge only wins with a
+    # decisively better score (it helps near-exact geometry; on noisy imagery
+    # its freed gauge can fit feature noise that the score barely sees).
+    PREFER_REFINED_FACTOR = 0.3
+    pres0 = list(est.pres)  # zero-bias preintegrations (gyro solve is relative)
+    best = None
+    for ci, (p_c, q_c, inv_depth, pt_ok) in enumerate(cands):
+        est.pres = list(pres0)
+        # body poses in the ℓ-camera frame: T_cl_bk = T_cl_ck ∘ (T_b_c)⁻¹
+        q_bl = np.stack([
+            np.asarray(quat_mul(jnp.asarray(q_c[k]), q_cb)) for k in range(nw + 1)
+        ])
+        p_bl = np.stack([
+            p_c[k] + np.asarray(quat_rotate(jnp.asarray(q_bl[k]), -p_bc)) for k in range(nw + 1)
+        ])
+
+        # gyro bias + repropagate
+        bg = _solve_gyro_bias(est, q_bl)
+        if np.linalg.norm(bg) > 1.0:
+            continue
+        for k in range(1, nw + 1):
+            buf = est.imu_bufs[k]
+            if buf.seeded and len(buf.dt) > 0:
+                acc, gyr, dts = buf.padded(est.dtype)
+                from plslam.models.estimator import _preintegrate_padded
+
+                est.pres[k] = _preintegrate_padded(
+                    acc, gyr, dts, jnp.zeros(3, est.dtype), jnp.asarray(bg, est.dtype), est.noise
+                )
+
+        out = _linear_alignment(est, p_c, q_bl)
+        if out is None:
+            continue
+        g_cl_c, s_c, vels_c = out
+        score = _alignment_residual(est, p_c, q_bl, g_cl_c, s_c, vels_c)
+        if ci == 0:
+            score = score / PREFER_REFINED_FACTOR  # refined must win decisively
+        if best is None or score < best[0]:
+            best = (score, p_c, q_c, inv_depth, pt_ok, q_bl, p_bl, bg, g_cl_c, s_c, vels_c)
+
+    if best is None:
         return False
+    _, p_c, q_c, inv_depth, pt_ok, q_bl, p_bl, bg, g_cl, s, vels_body = best
     est.bg[:] = bg
+    # leave preintegrations repropagated with the winning bg
     for k in range(1, nw + 1):
         buf = est.imu_bufs[k]
         if buf.seeded and len(buf.dt) > 0:
@@ -422,11 +487,6 @@ def try_initialize(est) -> bool:
             est.pres[k] = _preintegrate_padded(
                 acc, gyr, dts, jnp.zeros(3, est.dtype), jnp.asarray(bg, est.dtype), est.noise
             )
-
-    out = _linear_alignment(est, p_c, q_bl)
-    if out is None:
-        return False
-    g_cl, s, vels_body = out
 
     # ---- visualInitialAlign: rescale + rotate world to gravity-aligned frame
     p_m = s * p_bl  # metric body positions in the ℓ-camera frame
