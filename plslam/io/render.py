@@ -20,8 +20,39 @@ from plslam.io.synthetic import SyntheticSequence
 from plslam.utils.geometry import quat_rotate, quat_conj, quat_mul
 
 
+_STAMP_CACHE: dict = {}
+
+
+def _landmark_stamps(n: int, r: int, sigma: float, style: str = "gaussian") -> np.ndarray:
+    """Per-landmark stamps. style="gaussian": clean isotropic blobs (best LK
+    tracking accuracy — the default); style="textured": gaussian-windowed
+    unique noise per landmark (distinctive BRIEF appearance for loop-closure
+    experiments; noisier to track)."""
+    key = (n, r, round(sigma, 3), style)
+    if key in _STAMP_CACHE:
+        return _STAMP_CACHE[key]
+    rng = np.random.default_rng(1234)
+    size = 2 * r + 1
+    ys, xs = np.meshgrid(np.arange(size) - r, np.arange(size) - r, indexing="ij")
+    gwin = np.exp(-((xs**2 + ys**2) / (2.0 * sigma**2))).astype(np.float32)
+    amps = (0.35 + 0.45 * rng.random(n)) * rng.choice([-1.0, 1.0], n)
+    if style == "gaussian":
+        stamps = (amps[:, None, None] * gwin[None]).astype(np.float32)
+        _STAMP_CACHE[key] = stamps
+        return stamps
+    noise = rng.standard_normal((n, size, size)).astype(np.float32)
+    # light smoothing so LK still tracks sub-pixel
+    k = np.array([0.25, 0.5, 0.25], np.float32)
+    noise = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, noise.reshape(-1, size)).reshape(n, size, size)
+    noise = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 2, noise.reshape(n, size, size).transpose(0, 2, 1)).transpose(0, 2, 1)
+    pattern = 0.55 * noise / np.abs(noise).max(axis=(1, 2), keepdims=True) + 1.0
+    stamps = (amps[:, None, None] * gwin[None] * pattern).astype(np.float32)
+    _STAMP_CACHE[key] = stamps
+    return stamps
+
+
 def render_frame(seq: SyntheticSequence, k: int, cam, h: int, w: int,
-                 blob_sigma=2.0, rng=None) -> np.ndarray:
+                 blob_sigma=2.0, style: str = "gaussian", rng=None) -> np.ndarray:
     """Render frame k: background gradient + landmark blobs + line segments."""
     import jax.numpy as jnp
     from plslam.ops.cameras import normalized_to_pixel
@@ -36,18 +67,13 @@ def render_frame(seq: SyntheticSequence, k: int, cam, h: int, w: int,
     uv = np.asarray(normalized_to_pixel(cam, jnp.asarray(obs, jnp.float32)), np.float64)
 
     r = int(3 * blob_sigma)
-    amp_rng = np.random.default_rng(1234)  # fixed per-landmark appearance
-    amps = 0.25 + 0.5 * amp_rng.random(obs.shape[0])
-    signs = amp_rng.choice([-1.0, 1.0], obs.shape[0])
+    stamps = _landmark_stamps(obs.shape[0], r, blob_sigma, style)
     for li in np.nonzero(vis)[0]:
         cx, cy = uv[li]
         if not (r < cx < w - r and r < cy < h - r):
             continue
         x0, y0 = int(cx) - r, int(cy) - r
-        ys = np.arange(y0, y0 + 2 * r + 1)
-        xs = np.arange(x0, x0 + 2 * r + 1)
-        g = np.exp(-(((xs[None, :] - cx) ** 2 + (ys[:, None] - cy) ** 2) / (2 * blob_sigma**2)))
-        img[y0 : y0 + 2 * r + 1, x0 : x0 + 2 * r + 1] += signs[li] * amps[li] * g.astype(np.float32)
+        img[y0 : y0 + 2 * r + 1, x0 : x0 + 2 * r + 1] += stamps[li]
 
     # line segments
     lobs = np.asarray(seq.line_obs[k])
@@ -95,7 +121,8 @@ def write_png_gray(path: str, img01: np.ndarray):
 
 
 def write_euroc_dataset(seq: SyntheticSequence, out_dir: str, cam, h: int, w: int,
-                        max_frames: int | None = None):
+                        max_frames: int | None = None, blob_sigma: float = 2.0,
+                        style: str = "gaussian"):
     """Write the simulator sequence as a miniature EuRoC ASL dataset."""
     mav = os.path.join(out_dir, "mav0")
     os.makedirs(os.path.join(mav, "cam0", "data"), exist_ok=True)
@@ -117,7 +144,7 @@ def write_euroc_dataset(seq: SyntheticSequence, out_dir: str, cam, h: int, w: in
         for k in range(n):
             ns = int(frame_t[k] * 1e9)
             name = f"{ns}.png"
-            img = render_frame(seq, k, cam, h, w)
+            img = render_frame(seq, k, cam, h, w, blob_sigma=blob_sigma, style=style)
             write_png_gray(os.path.join(mav, "cam0", "data", name), img)
             f.write(f"{ns},{name}\n")
 

@@ -538,21 +538,30 @@ class Estimator:
         self.timestamps[:-1] = self.timestamps[1:]
 
     # ---------------------------------------------------------------- output
-    def window_points(self, frame: int | None = None):
+    def window_points(self):
         """(ids, norm_obs [n,2], world_3d [n,3]) of triangulated features
-        observed in `frame` (default: newest) — the keyframe payload the
-        reference published on `/keyframe_point` (SURVEY.md §3.3)."""
-        k = self.cfg.window_size if frame is None else frame
-        tbl = self.pt_table
-        sel = np.nonzero(tbl.used_in_solver() & tbl.mask[:, k])[0]
+        observed in the newest solved frame — the keyframe payload the
+        reference published on `/keyframe_point` (SURVEY.md §3.3).
+
+        Uses the PRE-slide solve snapshot (`_last_state`/`_last_factors`):
+        after `process_frame` returns, the table has already slid and the
+        newest column is cleared; feature SLOTS are stable across the slide,
+        so current table ids still label the snapshot's rows."""
+        f = self._last_factors
+        st = self._last_state
+        if f is None or st is None:
+            return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
+        k = self.cfg.window_size
+        ids = self.pt_table.ids
+        m = (np.asarray(f.pt_valid) * np.asarray(f.pt_mask)[:, k] > 0) & (ids >= 0)
+        sel = np.nonzero(m)[0]
         if len(sel) == 0:
             return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
-        st = self._last_state if self._last_state is not None else self._device_state()
-        f = self._last_factors if self._last_factors is not None else self._factors()
         from plslam.models.residuals import _world_points
 
         p_w = np.asarray(_world_points(st, f), np.float64)
-        return tbl.ids[sel].copy(), tbl.obs[sel, k].copy(), p_w[sel]
+        obs = np.asarray(f.pt_obs, np.float64)
+        return ids[sel].copy(), obs[sel, k], p_w[sel]
 
     def latest_pose(self):
         k = self.cfg.window_size if self.initialized else max(min(self.frame_count, self.cfg.window_size) - 1, 0)

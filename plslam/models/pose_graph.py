@@ -228,7 +228,7 @@ class PoseGraph:
             return None
         d_cur = jnp.asarray(cur_entry["win_desc"])
         d_old = jnp.asarray(old["desc"])
-        dist = np.asarray(kdb.hamming_matrix(d_cur, d_old))
+        dist = np.array(kdb.hamming_matrix(d_cur, d_old))
         dist[:, ~old["valid"]] = 999
         best = dist.argmin(axis=1)
         bestd = dist.min(axis=1)
