@@ -1,15 +1,26 @@
-"""Benchmark: frontend + sliding-window BA throughput on one TPU chip.
+"""Benchmark: full-system frontend + sliding-window BA throughput, one chip.
 
 The BASELINE metric is "frontend+BA frames/s per chip" (BASELINE.json:2); the
 reference ran its backend at 10 solves/s real-time (40 ms Ceres budget) with
-a 10 Hz frontend on a desktop CPU. We time:
-  * frontend: Pallas pyramidal LK tracking + Shi-Tomasi grid detection on a
-    752×480 frame (the per-frame image work of SURVEY.md §3.1),
-  * backend: the full keyframe tick — 8-iteration LM/Schur window solve +
-    FEJ marginalization (SURVEY.md §3.3) — including host bookkeeping.
+10 Hz point AND line frontends on a desktop CPU. We time the real per-frame
+work, chained like the streaming system (no independent-tick flattery):
+
+  * point frontend (SURVEY.md §3.1): pyramid build + batched-matmul pyramidal
+    LK on the PREVIOUS tick's features + Shi-Tomasi grid detection, with
+    detection feedback — dead tracks refill from fresh corners, and tick k's
+    output features/pyramids are tick k+1's input,
+  * line frontend (SURVEY.md §3.2): Scharr edge map + tiled-Hough segment
+    detection on 2 octaves + cross-octave merge + LBD descriptors + matching
+    against the PREVIOUS tick's descriptors (chained),
+  * backend (SURVEY.md §3.3): 8-iteration LM/Schur window solve + FEJ
+    marginalization per frame.
+
+Frames are 8 consecutive rendered 752×480 views of the synthetic 3D world
+(real inter-frame motion), cycled; all ticks are device-chained async
+dispatches — the host never syncs inside the measurement loop.
 
 Prints ONE JSON line; details go to stderr.
-vs_baseline = our frontend+BA frames/s ÷ 10 (the reference's real-time rate).
+vs_baseline = our frames/s ÷ 10 (the reference's real-time rate).
 """
 import json
 import sys
@@ -24,62 +35,75 @@ def main():
 
     import plslam  # noqa: F401
     from plslam.config import SolverConfig
-    from plslam.io import synthetic
+    from plslam.io import render, synthetic
+    from plslam.models import frontend_lines as fl
     from plslam.models import frontend_points as fp
     from plslam.models import marginalization as marg
     from plslam.models import packing, solver
     from plslam.models.state import layout
-    from plslam.ops.kernels.lk import lk_track_pallas
+    from plslam.ops.cameras import PinholeRadTan
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     dtype = jnp.float32
+    H, W = 480, 752
+    N_IMGS = 8
+    MAX_PTS = 150
+    MAX_LINES = 64
 
-    # ---------------- frontend: LK + detection on a realistic frame ----------
-    rng = np.random.default_rng(0)
-    img = rng.standard_normal((480, 752)).astype(np.float32)
-    k = np.exp(-0.5 * (np.arange(-7, 8) / 3.0) ** 2); k /= k.sum()
-    img = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, img)
-    img = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, img).astype(np.float32)
-    img2 = np.roll(img, (2, 4), axis=(0, 1))
-    pyr1 = fp.build_pyramid(jnp.asarray(img))
-    pyr2 = fp.build_pyramid(jnp.asarray(img2))
-    uv, score = fp.shi_tomasi_grid(
-        pyr1[0], jnp.zeros((1, 2), dtype), jnp.zeros((1,), dtype), cell=30, max_out=150
-    )
-    valid = jnp.ones((uv.shape[0],), bool)
-    track = fp.lk_track_fast  # batched-matmul LK (fastest path)
+    # ------------- 8 consecutive rendered frames (real camera motion) -------
+    seq = synthetic.make_sequence(duration=1.0, n_points=500, n_lines=48, seed=7)
+    cam = PinholeRadTan.create(460.0, 460.0, W / 2, H / 2)
+    imgs = [
+        jax.device_put(jnp.asarray(
+            render.render_frame(seq, k, cam, H, W, blob_sigma=2.5, style="textured"),
+            dtype), dev)
+        for k in range(N_IMGS)
+    ]
 
-    # the whole per-frame image tick as ONE jitted program (pyramid + LK +
-    # detection): one dispatch + one 1.4 MB image transfer per frame
+    # ------------------- point frontend tick (chained) ----------------------
     @jax.jit
-    def fe_tick(prev_pyr0, prev_pyr1, prev_pyr2, img_new, uv, valid):
+    def pt_tick(pyr0, pyr1, pyr2, img_new, uv, valid):
         pyr_new = fp.build_pyramid(img_new)
-        out, status = track((prev_pyr0, prev_pyr1, prev_pyr2), pyr_new, uv, valid)
-        uv2, sc2 = fp.shi_tomasi_grid(pyr_new[0], out, status.astype(dtype), cell=30, max_out=150)
-        return out, status, uv2, pyr_new
+        out, status = fp.lk_track_fast((pyr0, pyr1, pyr2), pyr_new, uv, valid)
+        ok = (status > 0) & valid
+        det_uv, det_sc = fp.shi_tomasi_grid(pyr_new[0], out, ok.astype(dtype),
+                                            cell=30, max_out=MAX_PTS)
+        # detection feedback: dead slots refill from the freshest corners
+        fill = jnp.clip(jnp.cumsum(~ok) - 1, 0, MAX_PTS - 1)
+        uv2 = jnp.where(ok[:, None], out, det_uv[fill])
+        valid2 = ok | (det_sc[fill] > 1e-5)
+        return pyr_new[0], pyr_new[1], pyr_new[2], uv2, valid2
 
-    o = fe_tick(pyr1[0], pyr1[1], pyr1[2], jnp.asarray(img2), uv, valid)
-    jax.block_until_ready(o)
-    # streaming throughput: frames pipeline through transfer+compute without a
-    # host sync each frame (per-frame blocking only measures the sandbox's
-    # TPU-tunnel roundtrip latency, not chip throughput)
-    n_fe = 60
-    imgs = [img, img2]
-    t0 = time.time()
-    outs = []
-    for i in range(n_fe):
-        o = fe_tick(pyr1[0], pyr1[1], pyr1[2], jnp.asarray(imgs[i % 2]), uv, valid)
-        outs.append(o[0])
-    jax.block_until_ready(outs)
-    t_fe = (time.time() - t0) / n_fe
+    # -------------------- line frontend tick (chained) ----------------------
+    @jax.jit
+    def ln_tick(img, prev_segs, prev_desc, prev_valid):
+        k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+        segs_o, score_o, valid_o = [], [], []
+        cur = img
+        for o in range(2):
+            mag, ang, edge = fl.edge_map(cur)
+            s, sc, v = fl.detect_segments(mag, ang, edge, *cur.shape, max_out=MAX_LINES)
+            segs_o.append(s * float(2 ** o))
+            score_o.append(sc * float(2 ** o))
+            valid_o.append(v)
+            if o == 0:
+                cur = fp._sep_conv(cur, k5)[::2, ::2]
+        segs, score, valid = fl.merge_candidates(
+            jnp.concatenate(segs_o), jnp.concatenate(score_o),
+            jnp.concatenate(valid_o), max_out=MAX_LINES)
+        gx, gy = fl._scharr(img)
+        desc = fl.lbd_descriptors(gx, gy, segs, valid.astype(img.dtype))
+        match = fl.match_lbd(prev_desc, prev_segs, prev_valid, desc, segs,
+                             valid.astype(img.dtype))
+        return segs, desc, valid.astype(img.dtype), match
 
-    # ---------------- backend: window solve + marginalization ----------------
+    # ---------------- backend: window solve + marginalization ---------------
     cfg = SolverConfig(max_features=192, max_line_feats=64)
     lay = layout(cfg)
-    seq = synthetic.make_sequence(duration=6.0, n_points=420, n_lines=160, seed=3)
+    bseq = synthetic.make_sequence(duration=6.0, n_points=420, n_lines=160, seed=3)
     frames = list(range(0, 55, 5))
-    state64, f64v = packing.factors_from_synthetic(seq, frames, cfg, lay)
+    state64, f64v = packing.factors_from_synthetic(bseq, frames, cfg, lay)
     cast = lambda t: jax.tree.map(
         lambda a: a.astype(dtype) if hasattr(a, "dtype") and a.dtype == jnp.float64 else a, t
     )
@@ -87,33 +111,71 @@ def main():
     f = jax.device_put(cast(f64v), dev)
 
     @jax.jit
-    def tick(st, fac):
+    def be_tick(st, fac):
         st_out, stats = solver.optimize_window(st, fac, lay, cfg, num_iters=8)
         prior = marg.marginalize_old(st_out, fac, lay, cfg)
         return st_out, stats, prior
 
-    st_out, stats, prior = tick(state, f)
-    jax.block_until_ready((st_out, prior))
-    n_be = 30
-    t0 = time.time()
-    for _ in range(n_be):
-        st_out, stats, prior = tick(state, f)
-    jax.block_until_ready((st_out, prior))
-    t_be = (time.time() - t0) / n_be
+    # ------------------------------- warmup ---------------------------------
+    uv0, sc0 = fp.shi_tomasi_grid(imgs[0], jnp.zeros((1, 2), dtype),
+                                  jnp.zeros((1,), dtype), cell=30, max_out=MAX_PTS)
+    pyr = fp.build_pyramid(imgs[0])
+    pt_state = (pyr[0], pyr[1], pyr[2], uv0, sc0 > 1e-5)
+    ln_state = ln_tick(imgs[0], jnp.zeros((MAX_LINES, 4), dtype),
+                       jnp.zeros((MAX_LINES, fl.N_BANDS * 8), dtype),
+                       jnp.zeros((MAX_LINES,), dtype))[:3]
+    pt_state = pt_tick(*pt_state[:3], imgs[1], pt_state[3], pt_state[4])
+    be_out = be_tick(state, f)
+    jax.block_until_ready((pt_state, ln_state, be_out))
 
-    fps = 1.0 / (t_fe + t_be)
+    # --------------------- streaming measurement loop -----------------------
+    def stream(n, do_pt=True, do_ln=True, do_be=True):
+        nonlocal pt_state, ln_state
+        outs = []
+        t0 = time.time()
+        for i in range(n):
+            img = imgs[i % N_IMGS]
+            if do_pt:
+                pt_state = pt_tick(*pt_state[:3], img, pt_state[3], pt_state[4])
+                outs.append(pt_state[3])
+            if do_ln:
+                s, d, v, m = ln_tick(img, *ln_state)
+                ln_state = (s, d, v)
+                outs.append(m)
+            if do_be:
+                st_out, stats, prior = be_tick(state, f)
+                outs.append(prior.r0)
+        jax.block_until_ready(outs)
+        return (time.time() - t0) / n
+
+    # steady-state warmup: the TPU tunnel amortizes per-program overhead over
+    # the first ~25 invocations of each executable (measured: the line tick
+    # drops 265 → 6.7 ms between its 1st and 25th call); measure AFTER that
+    stream(30)
+    n_meas = 48
+    t_all = stream(n_meas)
+    t_pt = stream(24, do_ln=False, do_be=False)
+    t_ln = stream(24, do_pt=False, do_be=False)
+    t_be = stream(24, do_pt=False, do_ln=False)
+
+    fps = 1.0 / t_all
+    st_out, stats, prior = be_tick(state, f)
     n_pts = int(np.asarray(jnp.sum(f.pt_valid)))
     n_lns = int(np.asarray(jnp.sum(f.ln_valid)))
+    n_trk = int(np.asarray(jnp.sum(pt_state[4])))
     print(
-        f"# device={dev.platform} frontend={t_fe*1e3:.1f}ms ({150} feats, pallas={on_tpu}) "
-        f"backend={t_be*1e3:.1f}ms (11 kf, {n_pts} pts, {n_lns} lines, 8-iter LM + marg) "
+        f"# device={dev.platform} chained full-system tick={t_all*1e3:.1f}ms → {fps:.1f} fps\n"
+        f"#   points={t_pt*1e3:.1f}ms ({n_trk}/{MAX_PTS} live, LK+detect+feedback 752x480)\n"
+        f"#   lines={t_ln*1e3:.1f}ms (2-octave Hough + LBD + match, {MAX_LINES} cap)\n"
+        f"#   backend={t_be*1e3:.1f}ms (11 kf, {n_pts} pts, {n_lns} lines, 8-iter LM + marg) "
         f"solve_cost {float(stats.cost0):.2e}→{float(stats.cost):.2e}",
         file=sys.stderr,
     )
     print(json.dumps({
         "metric": "frontend_plus_ba_fps",
         "value": round(fps, 2),
-        "unit": "frames/s single chip (LK+detect 752x480 + 8-iter LM/Schur + marginalization)",
+        "unit": "frames/s single chip (chained: LK+detect + 2-octave lines+LBD+match "
+                "+ 8-iter LM/Schur + marginalization, 752x480)",
         "vs_baseline": round(fps / 10.0, 2),
     }))
 

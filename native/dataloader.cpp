@@ -47,9 +47,11 @@ int decode_png_gray(const uint8_t* buf, size_t len, float* out, int* out_w,
   std::vector<uint8_t> idat;
   while (pos + 12 <= len) {
     uint32_t clen = be32(buf + pos);
+    if (clen > len || pos + 12 + size_t(clen) > len) return -7;  // truncated
     const char* ctype = reinterpret_cast<const char*>(buf + pos + 4);
     const uint8_t* cdata = buf + pos + 8;
     if (memcmp(ctype, "IHDR", 4) == 0) {
+      if (clen < 13) return -7;
       w = be32(cdata);
       h = be32(cdata + 4);
       bit_depth = cdata[8];
@@ -77,6 +79,7 @@ int decode_png_gray(const uint8_t* buf, size_t len, float* out, int* out_w,
   uLongf raw_len = raw.size();
   if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK)
     return -5;
+  if (raw_len != (uLongf)raw.size()) return -5;  // short stream
 
   std::vector<uint8_t> prev(stride, 0), line(stride);
   size_t rp = 0;

@@ -100,6 +100,7 @@ class LoopConfig:
     loop_closure: bool = True
     fast_relocalization: bool = False
     load_previous_pose_graph: bool = False
+    save_pose_graph: bool = False  # persist the map at end of sequence
     pose_graph_save_path: str = "/tmp/plslam_pose_graph"
     # keyframe DB / matching gates (KeyFrame::findConnection thresholds)
     min_loop_gap: int = 50
@@ -150,11 +151,21 @@ class PLSlamConfig:
             max_cnt=g("max_cnt", 150), min_dist=g("min_dist", 30),
             freq=g("freq", 10), f_threshold=g("F_threshold", 1.0),
             equalize=bool(g("equalize", 1)), fisheye=bool(g("fisheye", 0)),
+            show_track=bool(g("show_track", 0)),
+            min_score=g("min_score", 1e-4),
+            max_lines=g("max_lines", 64),
+            lsd_min_length=g("lsd_min_length", 30.0),
+            lbd_match_thresh=g("lbd_match_thresh", 30),
         )
         solver = SolverConfig(
             max_num_iterations=g("max_num_iterations", 8),
             max_solver_time=g("max_solver_time", 0.04),
             keyframe_parallax=g("keyframe_parallax", 10.0),
+            window_size=g("window_size", 10),
+            max_features=g("max_features", 192),
+            max_line_feats=g("max_line_feats", 64),
+            focal_length=g("focal_length", 460.0),
+            dtype=g("solver_dtype", "float32"),
         )
         imu = ImuConfig(
             acc_n=g("acc_n", 0.08), gyr_n=g("gyr_n", 0.004),
@@ -177,7 +188,14 @@ class PLSlamConfig:
             loop_closure=bool(g("loop_closure", 1)),
             fast_relocalization=bool(g("fast_relocalization", 0)),
             load_previous_pose_graph=bool(g("load_previous_pose_graph", 0)),
+            save_pose_graph=bool(g("save_pose_graph", 0)),
             pose_graph_save_path=g("pose_graph_save_path", "/tmp/plslam_pose_graph"),
+            min_loop_gap=g("min_loop_gap", 50),
+            desc_hamming_thresh=g("desc_hamming_thresh", 80),
+            min_pnp_inliers=g("min_pnp_inliers", 25),
+            max_loop_yaw_deg=g("max_loop_yaw_deg", 30.0),
+            max_loop_translation=g("max_loop_translation", 20.0),
+            max_keyframes=g("max_keyframes", 2048),
         )
         return PLSlamConfig(
             camera=cam, tracker=tracker, solver=solver, imu=imu, extrinsic=ext,

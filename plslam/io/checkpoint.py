@@ -29,16 +29,30 @@ def save_estimator(est: Estimator, path: str):
         ln_mask=est.ln_table.mask, ln_solved=est.ln_table.solved,
         ln_track=est.ln_table.track_cnt,
         has_prior=est.prior is not None,
+        # boundary sample of the open interval: without it the first
+        # post-resume IMU sample would be treated as the session's first and
+        # the interval would lose its seed sample + first dt
+        has_last=est.last_acc is not None,
+        last_acc=est.last_acc if est.last_acc is not None else np.zeros(3),
+        last_gyr=est.last_gyr if est.last_gyr is not None else np.zeros(3),
     )
     if est.prior is not None:
         for name in marg.Prior._fields:
             d[f"prior_{name}"] = np.asarray(getattr(est.prior, name))
-    # imu interval buffers
+    # imu interval buffers + their preintegrations. The preintegrations MUST
+    # be persisted, not recomputed on load: each was linearized at the bias
+    # estimate current when its interval closed; recomputing against the
+    # (later, solved) biases changes every IMU factor and breaks exact resume.
     d["n_bufs"] = len(est.imu_bufs)
     for k, buf in enumerate(est.imu_bufs):
         d[f"buf{k}_acc"] = np.asarray(buf.acc) if buf.acc else np.zeros((0, 3))
         d[f"buf{k}_gyr"] = np.asarray(buf.gyr) if buf.gyr else np.zeros((0, 3))
         d[f"buf{k}_dt"] = np.asarray(buf.dt)
+    for k, pre in enumerate(est.pres):
+        d[f"pre{k}_has"] = pre is not None
+        if pre is not None:
+            for name, v in pre.items():
+                d[f"pre{k}_{name}"] = np.asarray(v)
     np.savez_compressed(path, **d)
 
 
@@ -72,10 +86,16 @@ def load_estimator(est: Estimator, path: str):
             buf.dt = list(z[f"buf{k}_dt"])
         est.imu_bufs.append(buf)
         est.pres.append(None)
-    # re-preintegrate closed intervals
-    for k in range(1, len(est.imu_bufs) - 1):
-        est._close_interval(k)
-    if len(est.imu_bufs) and len(est.imu_bufs[-1].dt) > 0:
+    _PRE_KEYS = ("alpha", "beta", "gamma", "jac", "sqrt_info", "dt_sum", "ba", "bg")
+    for k in range(len(est.imu_bufs)):
+        if f"pre{k}_has" in z.files and bool(z[f"pre{k}_has"]):
+            est.pres[k] = {n: jnp.asarray(z[f"pre{k}_{n}"]) for n in _PRE_KEYS}
+        elif f"pre{k}_has" not in z.files and 0 < k < len(est.imu_bufs) - 1:
+            est._close_interval(k)  # legacy checkpoints: approximate resume
+    if "has_last" in z.files and bool(z["has_last"]):
+        est.last_acc = np.asarray(z["last_acc"], np.float64)
+        est.last_gyr = np.asarray(z["last_gyr"], np.float64)
+    elif len(est.imu_bufs) and len(est.imu_bufs[-1].dt) > 0:
         est.last_acc = est.imu_bufs[-1].acc[-1]
         est.last_gyr = est.imu_bufs[-1].gyr[-1]
     return est

@@ -25,9 +25,11 @@ _STAMP_CACHE: dict = {}
 
 def _landmark_stamps(n: int, r: int, sigma: float, style: str = "gaussian") -> np.ndarray:
     """Per-landmark stamps. style="gaussian": clean isotropic blobs (best LK
-    tracking accuracy — the default); style="textured": gaussian-windowed
-    unique noise per landmark (distinctive BRIEF appearance for loop-closure
-    experiments; noisier to track)."""
+    tracking accuracy — the default); style="textured": a checkerboard corner
+    at the stamp center (exact Shi-Tomasi/LK localization) surrounded by
+    unique band-limited noise per landmark, wide enough (≥ the BRIEF pattern
+    radius) to give each landmark a distinctive BRIEF appearance — this is
+    what makes appearance-level loop confirmation fire on rendered imagery."""
     key = (n, r, round(sigma, 3), style)
     if key in _STAMP_CACHE:
         return _STAMP_CACHE[key]
@@ -40,13 +42,25 @@ def _landmark_stamps(n: int, r: int, sigma: float, style: str = "gaussian") -> n
         stamps = (amps[:, None, None] * gwin[None]).astype(np.float32)
         _STAMP_CACHE[key] = stamps
         return stamps
+    # unique smoothed noise texture per landmark (the BRIEF signature)
     noise = rng.standard_normal((n, size, size)).astype(np.float32)
-    # light smoothing so LK still tracks sub-pixel
     k = np.array([0.25, 0.5, 0.25], np.float32)
-    noise = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, noise.reshape(-1, size)).reshape(n, size, size)
-    noise = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 2, noise.reshape(n, size, size).transpose(0, 2, 1)).transpose(0, 2, 1)
-    pattern = 0.55 * noise / np.abs(noise).max(axis=(1, 2), keepdims=True) + 1.0
-    stamps = (amps[:, None, None] * gwin[None] * pattern).astype(np.float32)
+    for _ in range(2):
+        noise = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, noise.reshape(-1, size)).reshape(n, size, size)
+        noise = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 1, noise.transpose(0, 2, 1).reshape(-1, size)).reshape(n, size, size).transpose(0, 2, 1)
+    noise = noise / (np.abs(noise).max(axis=(1, 2), keepdims=True) + 1e-9)
+    # per-landmark randomly-signed checkerboard corner at the center: gives
+    # the detector/LK an exact corner and anchors the BRIEF patch
+    quad = np.sign(xs + 0.5)[None] * np.sign(ys + 0.5)[None] * rng.choice([-1.0, 1.0], n)[:, None, None]
+    cwin = np.exp(-((xs**2 + ys**2) / (2.0 * max(0.55 * sigma, 2.2) ** 2))).astype(np.float32)
+    # wide annular window for the noise: texture reaches the whole BRIEF
+    # patch but stays OFF the center so the checker corner wins Shi-Tomasi
+    # (detected corners must localize to the landmark, not a noise peak)
+    rr2 = (xs**2 + ys**2).astype(np.float32)
+    nwin = np.exp(-rr2 / (2.0 * (0.60 * r) ** 2)).astype(np.float32)
+    nwin = nwin * np.clip((np.sqrt(rr2) - 3.0) / 2.5, 0.0, 1.0)
+    pattern = 1.0 * quad * cwin[None] + 0.8 * noise * nwin[None]
+    stamps = (amps[:, None, None] * 1.3 * pattern).astype(np.float32)
     _STAMP_CACHE[key] = stamps
     return stamps
 
@@ -66,7 +80,8 @@ def render_frame(seq: SyntheticSequence, k: int, cam, h: int, w: int,
     vis = np.asarray(seq.obs_valid[k])
     uv = np.asarray(normalized_to_pixel(cam, jnp.asarray(obs, jnp.float32)), np.float64)
 
-    r = int(3 * blob_sigma)
+    # textured stamps must cover the BRIEF pattern radius (±15 px)
+    r = int(3 * blob_sigma) if style == "gaussian" else max(int(3 * blob_sigma), 16)
     stamps = _landmark_stamps(obs.shape[0], r, blob_sigma, style)
     for li in np.nonzero(vis)[0]:
         cx, cy = uv[li]

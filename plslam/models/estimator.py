@@ -31,7 +31,9 @@ from plslam.models import triangulate
 from plslam.models.feature_table import LineTable, PointTable
 from plslam.models.state import WindowState, layout, zero_state
 from plslam.ops import imu as imu_ops
-from plslam.utils.geometry import quat_exp, quat_mul, quat_normalize, quat_rotate, rot_to_quat
+from plslam.utils import quat_np as qnp
+from plslam.utils.device import asdev
+from plslam.utils.geometry import rot_to_quat
 
 MARGIN_OLD = 0
 MARGIN_SECOND_NEW = 1
@@ -151,21 +153,20 @@ class Estimator:
             buf.seed(self.last_acc, self.last_gyr)
         buf.append(acc, gyr, dt)
 
-        if True:
-            # midpoint dead-reckoning on the newest slot
-            k = min(self.frame_count, self.cfg.window_size)
-            ba, bg = self.ba[k], self.bg[k]
-            g = np.array([0.0, 0.0, self.config.imu.g_norm])
-            w_mid = 0.5 * (self.last_gyr + gyr) - bg
-            q_old = self.q[k].copy()
-            dq = np.asarray(quat_exp(jnp.asarray(w_mid * dt)))
-            q_new = np.asarray(quat_normalize(quat_mul(jnp.asarray(q_old), jnp.asarray(dq))))
-            a0 = np.asarray(quat_rotate(jnp.asarray(q_old), jnp.asarray(self.last_acc - ba))) - g
-            a1 = np.asarray(quat_rotate(jnp.asarray(q_new), jnp.asarray(acc - ba))) - g
-            a_mid = 0.5 * (a0 + a1)
-            self.p[k] += self.v[k] * dt + 0.5 * a_mid * dt * dt
-            self.v[k] += a_mid * dt
-            self.q[k] = q_new
+        # midpoint dead-reckoning on the newest slot (pure numpy — this runs
+        # at IMU rate on the host, no device dispatches)
+        k = min(self.frame_count, self.cfg.window_size)
+        ba, bg = self.ba[k], self.bg[k]
+        g = np.array([0.0, 0.0, self.config.imu.g_norm])
+        w_mid = 0.5 * (self.last_gyr + gyr) - bg
+        q_old = self.q[k].copy()
+        q_new = qnp.quat_normalize(qnp.quat_mul(q_old, qnp.quat_exp(w_mid * dt)))
+        a0 = qnp.quat_rotate(q_old, self.last_acc - ba) - g
+        a1 = qnp.quat_rotate(q_new, acc - ba) - g
+        a_mid = 0.5 * (a0 + a1)
+        self.p[k] += self.v[k] * dt + 0.5 * a_mid * dt * dt
+        self.v[k] += a_mid * dt
+        self.q[k] = q_new
         self.last_acc, self.last_gyr = acc, gyr
 
     def _close_interval(self, k: int):
@@ -178,8 +179,8 @@ class Estimator:
         kb = max(k - 1, 0)
         self.pres[k] = _preintegrate_padded(
             acc, gyr, dts,
-            jnp.asarray(self.ba[kb], self.dtype),
-            jnp.asarray(self.bg[kb], self.dtype),
+            asdev(self.ba[kb], self.dtype),
+            asdev(self.bg[kb], self.dtype),
             self.noise,
         )
 
@@ -206,6 +207,16 @@ class Estimator:
 
         keyframe = self.pt_table.parallax_keyframe_decision(fc)
         marg_flag = MARGIN_OLD if keyframe else MARGIN_SECOND_NEW
+        # MARGIN_SECOND_NEW merges interval (nw-1→nw) into (nw-2→nw-1); if the
+        # merged sample count would overflow the fixed IMU_PAD bucket (long
+        # hover/stationary runs of non-keyframes), force a keyframe instead of
+        # silently truncating the preintegration (the factor would then span
+        # less time than the frame gap).
+        nw = self.cfg.window_size
+        if (marg_flag == MARGIN_SECOND_NEW and self.frame_count >= nw
+                and len(self.imu_bufs[nw - 1].dt) + len(self.imu_bufs[nw].dt) > IMU_PAD):
+            keyframe = True
+            marg_flag = MARGIN_OLD
 
         if oracle_state is not None and not self.initialized:
             self.p[fc] = oracle_state["p"]
@@ -305,20 +316,20 @@ class Estimator:
     def _device_state(self) -> WindowState:
         st = zero_state(self.cfg, self.dtype)
         return st._replace(
-            p=jnp.asarray(self.p, self.dtype),
-            q=jnp.asarray(self.q, self.dtype),
-            v=jnp.asarray(self.v, self.dtype),
-            ba=jnp.asarray(self.ba, self.dtype),
-            bg=jnp.asarray(self.bg, self.dtype),
-            p_bc=jnp.asarray(self.p_bc, self.dtype),
-            q_bc=jnp.asarray(self.q_bc, self.dtype),
-            td=jnp.asarray(self.td, self.dtype),
-            relo_p=jnp.asarray(self.relo["p"] if self.relo else np.zeros(3), self.dtype),
-            relo_q=jnp.asarray(self.relo["q"] if self.relo else np.array([1.0, 0, 0, 0]), self.dtype),
+            p=asdev(self.p, self.dtype),
+            q=asdev(self.q, self.dtype),
+            v=asdev(self.v, self.dtype),
+            ba=asdev(self.ba, self.dtype),
+            bg=asdev(self.bg, self.dtype),
+            p_bc=asdev(self.p_bc, self.dtype),
+            q_bc=asdev(self.q_bc, self.dtype),
+            td=asdev(self.td, self.dtype),
+            relo_p=asdev(self.relo["p"] if self.relo else np.zeros(3), self.dtype),
+            relo_q=asdev(self.relo["q"] if self.relo else np.array([1.0, 0, 0, 0]), self.dtype),
             inv_depth=jnp.asarray(
                 np.where(self.pt_table.inv_depth > 0, self.pt_table.inv_depth, 0.2), self.dtype
             ),
-            line=jnp.asarray(self.line_w, self.dtype),
+            line=asdev(self.line_w, self.dtype),
         )
 
     def _factors(self) -> res.WindowFactors:
@@ -357,24 +368,24 @@ class Estimator:
             rowf = np.zeros_like(self.pt_table.obs[..., 1])
             rs_tr = 0.0
         f = f._replace(
-            pt_obs=jnp.asarray(self.pt_table.obs, dtype),
-            pt_vel=jnp.asarray(self.pt_table.vel, dtype),
+            pt_obs=asdev(self.pt_table.obs, dtype),
+            pt_vel=asdev(self.pt_table.vel, dtype),
             pt_rowf=jnp.asarray(rowf, dtype),
             rs_tr=jnp.asarray(rs_tr, dtype),
-            pt_mask=jnp.asarray(self.pt_table.mask.astype(np.float64), dtype),
-            pt_start=jnp.asarray(self.pt_table.start),
+            pt_mask=asdev(self.pt_table.mask.astype(np.float64), dtype),
+            pt_start=asdev(self.pt_table.start),
             pt_valid=jnp.asarray(pt_used.astype(np.float64), dtype),
         )
         ln_used = self.ln_table.usable()
         f = f._replace(
-            ln_obs=jnp.asarray(self.ln_table.obs, dtype),
-            ln_mask=jnp.asarray(self.ln_table.mask.astype(np.float64), dtype),
+            ln_obs=asdev(self.ln_table.obs, dtype),
+            ln_mask=asdev(self.ln_table.mask.astype(np.float64), dtype),
             ln_valid=jnp.asarray(ln_used.astype(np.float64), dtype),
         )
         if self.relo is not None:
             f = f._replace(
-                relo_obs=jnp.asarray(self.relo["obs"], dtype),
-                relo_mask=jnp.asarray(self.relo["mask"], dtype),
+                relo_obs=asdev(self.relo["obs"], dtype),
+                relo_mask=asdev(self.relo["mask"], dtype),
                 relo_valid=jnp.ones((), dtype),
             )
         if self.prior is not None:
@@ -398,10 +409,8 @@ class Estimator:
 
     # --------------------------------------------------------------- solving
     def _cam_poses_np(self):
-        q_wc = np.asarray(quat_mul(jnp.asarray(self.q), jnp.asarray(self.q_bc)[None, :]))
-        p_wc = self.p + np.asarray(
-            quat_rotate(jnp.asarray(self.q), jnp.broadcast_to(jnp.asarray(self.p_bc), self.p.shape))
-        )
+        q_wc = qnp.quat_mul(self.q, self.q_bc[None, :])
+        p_wc = self.p + qnp.quat_rotate(self.q, np.broadcast_to(self.p_bc, self.p.shape))
         return p_wc, q_wc
 
     def _triangulate(self):
@@ -414,9 +423,9 @@ class Estimator:
         if np.any(need):
             inv_d, ok = triangulate.triangulate_points(
                 p_wc_j, q_wc_j,
-                jnp.asarray(tbl.obs, self.dtype),
-                jnp.asarray(tbl.mask.astype(np.float64), self.dtype),
-                jnp.asarray(tbl.start),
+                asdev(tbl.obs, self.dtype),
+                asdev(tbl.mask.astype(np.float64), self.dtype),
+                asdev(tbl.start),
             )
             inv_d = np.asarray(inv_d, np.float64)
             ok = np.asarray(ok)
@@ -429,9 +438,9 @@ class Estimator:
         if np.any(lneed):
             L, ok = triangulate.triangulate_lines(
                 p_wc_j, q_wc_j,
-                jnp.asarray(ltb.obs, self.dtype),
-                jnp.asarray(ltb.mask.astype(np.float64), self.dtype),
-                jnp.asarray(ltb.start),
+                asdev(ltb.obs, self.dtype),
+                asdev(ltb.mask.astype(np.float64), self.dtype),
+                asdev(ltb.start),
             )
             L = np.asarray(L, np.float64)
             ok = np.asarray(ok)
@@ -507,8 +516,8 @@ class Estimator:
             acc, gyr, dts = merged.padded(self.dtype)
             self.pres[nw - 1] = _preintegrate_padded(
                 acc, gyr, dts,
-                jnp.asarray(self.ba[nw - 2], self.dtype),
-                jnp.asarray(self.bg[nw - 2], self.dtype),
+                asdev(self.ba[nw - 2], self.dtype),
+                asdev(self.bg[nw - 2], self.dtype),
                 self.noise,
             )
             for arr in (self.p, self.q, self.v, self.ba, self.bg):

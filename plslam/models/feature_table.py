@@ -19,6 +19,16 @@ import numpy as np
 from plslam.config import SolverConfig
 
 
+def _quat_to_rot_np(q):
+    """Rotation matrix from wxyz quaternion — pure numpy (host hot path)."""
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 class PointTable:
     def __init__(self, cfg: SolverConfig):
         self.cfg = cfg
@@ -39,7 +49,13 @@ class PointTable:
 
     def add_frame(self, frame_idx: int, ids, pts, vels=None):
         """Insert observations of frame `frame_idx` (`addFeatureCheckParallax`
-        insertion half). Returns number of tracked (pre-existing) features."""
+        insertion half). Returns number of tracked (pre-existing) features.
+
+        Unlike the reference's `FeaturePerId` (contiguous by construction —
+        the LK tracker never resurrects a lost id), oracle frontends whose ids
+        are landmark indices produce GAPPED tracks (FOV flicker). Gaps are
+        kept (every real observation constrains the solve); `slide_old`
+        re-anchors gapped depths safely (ADVICE r1)."""
         ids = np.asarray(ids)
         pts = np.asarray(pts)
         vels = np.zeros_like(pts) if vels is None else np.asarray(vels)
@@ -94,24 +110,27 @@ class PointTable:
         """MARGIN_OLD slide (`removeBackShiftDepth`): drop frame-0
         observations, shift the window left, transfer anchored depths of
         frame-0-anchored features to the new first observing frame using the
-        old/new anchor camera poses (world_T_cam)."""
-        from plslam.utils.geometry import quat_rotate, quat_conj
-        import jax.numpy as jnp
+        old/new anchor camera poses (world_T_cam).
 
+        A depth transfers only when the feature IS observed in frame 1 (the
+        new anchor); a gapped track (no frame-1 obs) gets inv_depth reset to
+        -1 so triangulation re-anchors it — matching the reference's
+        removeBackShiftDepth which walks the per-feature observation list."""
         starts_at_0 = self.active & (self.start == 0) & (self.inv_depth > 0)
-        # 3D point in old anchor cam, then into world, then into new anchor cam
-        for s in np.nonzero(starts_at_0)[0]:
-            nxt = np.nonzero(self.mask[s, 1:])[0]
-            if len(nxt) == 0:
-                continue
-            uv = self.obs[s, 0]
-            depth = 1.0 / self.inv_depth[s]
-            pc0 = np.array([uv[0] * depth, uv[1] * depth, depth])
-            pw = np.asarray(quat_rotate(jnp.asarray(q_wc_old0), jnp.asarray(pc0))) + p_wc_old0
-            pc1 = np.asarray(
-                quat_rotate(quat_conj(jnp.asarray(q_wc_new0)), jnp.asarray(pw - p_wc_new0))
-            )
-            self.inv_depth[s] = 1.0 / pc1[2] if pc1[2] > 0.1 else -1.0
+        gapped = starts_at_0 & ~self.mask[:, 1]
+        self.inv_depth[gapped] = -1.0
+        sel = starts_at_0 & self.mask[:, 1]
+        if np.any(sel):
+            # 3D point in old anchor cam → world → new anchor cam (vectorized)
+            uv = self.obs[sel, 0]
+            depth = 1.0 / self.inv_depth[sel]
+            pc0 = np.stack([uv[:, 0] * depth, uv[:, 1] * depth, depth], axis=-1)
+            R_old = _quat_to_rot_np(q_wc_old0)
+            R_new = _quat_to_rot_np(q_wc_new0)
+            pw = pc0 @ R_old.T + np.asarray(p_wc_old0)
+            pc1 = (pw - np.asarray(p_wc_new0)) @ R_new  # = R_new.T rowwise
+            z = pc1[:, 2]
+            self.inv_depth[sel] = np.where(z > 0.1, 1.0 / np.maximum(z, 1e-9), -1.0)
 
         # shift all windows left
         self.obs[:, :-1] = self.obs[:, 1:]
@@ -120,8 +139,14 @@ class PointTable:
         self.obs[:, -1] = 0
         self.vel[:, -1] = 0
         self.mask[:, -1] = False
-        self.start = np.maximum(self.start - 1, 0)
+        # tracks may have gaps (oracle frontends): the anchor is the FIRST
+        # observed column, not blindly start-1 (ADVICE r1)
         self._drop_empty()
+        has = np.any(self.mask, axis=1)
+        self.start = np.where(has, np.argmax(self.mask, axis=1), 0).astype(np.int32)
+        # a depth anchored at old frame 1 (new frame 0) survived the transfer;
+        # anything anchored later than its first observation is stale
+        self.inv_depth = np.where(self.active & has, self.inv_depth, -1.0)
 
     def slide_new(self):
         """MARGIN_SECOND_NEW slide (`removeFront`): discard frame NW-2
@@ -136,15 +161,24 @@ class PointTable:
         self.start[self.start == nw - 1] = nw - 2
         self._drop_empty()
 
-    def _drop_empty(self):
-        empty = self.active & ~np.any(self.mask, axis=1)
-        self.ids[empty] = -1
-        self.inv_depth[empty] = -1.0
-
-    def drop(self, slots):
+    def _clear_slots(self, slots):
+        """Zero everything in freed slots: results must not depend on stale
+        dead-slot memory reaching the device arrays."""
         self.ids[slots] = -1
         self.inv_depth[slots] = -1.0
         self.mask[slots] = False
+        self.obs[slots] = 0
+        self.vel[slots] = 0
+        self.start[slots] = 0
+        self.track_cnt[slots] = 0
+
+    def _drop_empty(self):
+        empty = self.active & ~np.any(self.mask, axis=1)
+        if np.any(empty):
+            self._clear_slots(empty)
+
+    def drop(self, slots):
+        self._clear_slots(slots)
 
     def solvable(self):
         """Features with ≥2 observations (triangulation candidates)."""
@@ -199,8 +233,9 @@ class LineTable:
         self.mask[:, :-1] = self.mask[:, 1:]
         self.obs[:, -1] = 0
         self.mask[:, -1] = False
-        self.start = np.maximum(self.start - 1, 0)
         self._drop_empty()
+        has = np.any(self.mask, axis=1)
+        self.start = np.where(has, np.argmax(self.mask, axis=1), 0).astype(np.int32)
 
     def slide_new(self):
         nw = self.nw
@@ -211,15 +246,21 @@ class LineTable:
         self.start[self.start == nw - 1] = nw - 2
         self._drop_empty()
 
-    def _drop_empty(self):
-        empty = self.active & ~np.any(self.mask, axis=1)
-        self.ids[empty] = -1
-        self.solved[empty] = False
-
-    def drop(self, slots):
+    def _clear_slots(self, slots):
         self.ids[slots] = -1
         self.solved[slots] = False
         self.mask[slots] = False
+        self.obs[slots] = 0
+        self.start[slots] = 0
+        self.track_cnt[slots] = 0
+
+    def _drop_empty(self):
+        empty = self.active & ~np.any(self.mask, axis=1)
+        if np.any(empty):
+            self._clear_slots(empty)
+
+    def drop(self, slots):
+        self._clear_slots(slots)
 
     def usable(self):
         """Lines with ≥2 observations and triangulated (enter the solver)."""

@@ -279,6 +279,26 @@ def match_lbd(desc1, segs1, valid1, desc2, segs2, valid2):
     return jnp.where(good, best12, -1)
 
 
+@partial(jax.jit, static_argnames=("max_out",))
+def merge_candidates(segs, score, valid, max_out: int):
+    """Cross-octave/near-duplicate suppression, vectorized (same
+    strictly-better idiom as the in-tile suppression in `detect_segments` —
+    replaces the former O(n²) host Python loop). Returns
+    (segs [max_out,4], score [max_out], valid [max_out]) sorted by score."""
+    mid = 0.5 * (segs[:, 0:2] + segs[:, 2:4])
+    dvec = segs[:, 2:4] - segs[:, 0:2]
+    angs = jnp.arctan2(dvec[:, 1], dvec[:, 0]) % jnp.pi
+    d_mid = jnp.linalg.norm(mid[:, None, :] - mid[None, :, :], axis=-1)
+    d_ang = jnp.abs((angs[:, None] - angs[None, :] + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
+    similar = (d_mid < 20.0) & (d_ang < 0.12)
+    idx = jnp.arange(segs.shape[0])
+    better = (score[None, :] > score[:, None]) | (
+        (score[None, :] == score[:, None]) & (idx[None, :] < idx[:, None]))
+    keep = valid & ~jnp.any(similar & better & valid[None, :], axis=1)
+    order = jnp.argsort(-(score * keep))[:max_out]
+    return segs[order], score[order] * keep[order], keep[order]
+
+
 # ------------------------------------------------------------------- driver
 class FrontendLines:
     """Host orchestration (`LineFeatureTracker` equivalent)."""
@@ -295,8 +315,7 @@ class FrontendLines:
         """Detect on an octave pyramid and merge (the reference's
         `LSDDetector::detect` scale loop): coarse octaves find long
         low-contrast structure the fine octave splits or misses."""
-        h, w = img_j.shape
-        all_segs, all_scores = [], []
+        all_segs, all_scores, all_valid = [], [], []
         cur = img_j
         for o in range(self.octaves):
             mag, ang, edge = edge_map(cur)
@@ -304,43 +323,19 @@ class FrontendLines:
                 mag, ang, edge, *cur.shape, max_out=self.max_lines
             )
             s = float(2**o)
-            segs = np.asarray(segs, np.float64) * s
-            keep = np.asarray(valid)
-            all_segs.append(segs[keep])
-            all_scores.append(np.asarray(score)[keep] * s)
+            all_segs.append(segs * s)
+            all_scores.append(score * s)
+            all_valid.append(valid)
             if o + 1 < self.octaves:
                 k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img_j.dtype) / 16.0
                 from plslam.models.frontend_points import _sep_conv
 
                 cur = _sep_conv(cur, k)[::2, ::2]
-        segs = np.concatenate(all_segs) if all_segs else np.zeros((0, 4))
-        score = np.concatenate(all_scores) if all_scores else np.zeros(0)
-        # cross-octave duplicate suppression (keep strongest)
-        order = np.argsort(-score)
-        segs, score = segs[order], score[order]
-        kept = []
-        for i in range(len(segs)):
-            mid = 0.5 * (segs[i, 0:2] + segs[i, 2:4])
-            ang_i = np.arctan2(segs[i, 3] - segs[i, 1], segs[i, 2] - segs[i, 0]) % np.pi
-            dup = False
-            for j in kept:
-                mj = 0.5 * (segs[j, 0:2] + segs[j, 2:4])
-                aj = np.arctan2(segs[j, 3] - segs[j, 1], segs[j, 2] - segs[j, 0]) % np.pi
-                if np.linalg.norm(mid - mj) < 20.0 and abs((ang_i - aj + np.pi / 2) % np.pi - np.pi / 2) < 0.12:
-                    dup = True
-                    break
-            if not dup:
-                kept.append(i)
-            if len(kept) >= self.max_lines:
-                break
-        out = np.zeros((self.max_lines, 4))
-        val = np.zeros(self.max_lines, bool)
-        sc = np.zeros(self.max_lines)
-        for n, i in enumerate(kept):
-            out[n] = segs[i]
-            sc[n] = score[i]
-            val[n] = True
-        return out, sc, val
+        segs, score, valid = merge_candidates(
+            jnp.concatenate(all_segs), jnp.concatenate(all_scores),
+            jnp.concatenate(all_valid), max_out=self.max_lines,
+        )
+        return np.asarray(segs, np.float64), np.asarray(score), np.asarray(valid)
 
     def process(self, img: np.ndarray, t: float):
         """One frame tick. Returns (ids, normalized segments [n,4])."""

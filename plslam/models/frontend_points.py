@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from plslam.utils.device import asdev
 from plslam.ops.cameras import PinholeRadTan, lift
 
 LK_WIN = 10  # half window → 21×21 like cv::calcOpticalFlowPyrLK default
@@ -403,14 +404,14 @@ class FrontendPoints:
 
                 uv, status = lk_track_pallas(
                     self.prev_pyr, pyr,
-                    jnp.asarray(self.prev_uv, self.dtype),
-                    jnp.asarray(self.prev_valid),
+                    asdev(self.prev_uv, self.dtype),
+                    asdev(self.prev_valid),
                 )
             else:
                 uv, status = lk_track_fast(
                     self.prev_pyr, pyr,
-                    jnp.asarray(self.prev_uv, self.dtype),
-                    jnp.asarray(self.prev_valid),
+                    asdev(self.prev_uv, self.dtype),
+                    asdev(self.prev_valid),
                 )
             uv = np.asarray(uv, np.float64)
             status = np.asarray(status)
@@ -419,10 +420,10 @@ class FrontendPoints:
             if status.sum() >= 8:
                 self._key, sub = jax.random.split(self._key)
                 inl = fundamental_ransac(
-                    jnp.asarray(self.prev_norm, self.dtype),
+                    asdev(self.prev_norm, self.dtype),
                     jnp.asarray(norm, self.dtype),
                     jnp.asarray(status),
-                    jnp.asarray(self.f_thresh, self.dtype),
+                    asdev(self.f_thresh, self.dtype),
                     key=sub,
                 )
                 status = status & np.asarray(inl)
@@ -438,8 +439,8 @@ class FrontendPoints:
         if n_new > 0:
             uv_new, score = shi_tomasi_grid(
                 pyr[0],
-                jnp.asarray(self.prev_uv, self.dtype),
-                jnp.asarray(self.prev_valid, self.dtype),
+                asdev(self.prev_uv, self.dtype),
+                asdev(self.prev_valid, self.dtype),
                 cell=self.min_dist,
                 max_out=self.max_cnt,
             )
@@ -456,7 +457,7 @@ class FrontendPoints:
             self.track_cnt[slots] = 1
             if len(sel):
                 self.prev_norm[slots] = np.asarray(
-                    lift(self.cam, jnp.asarray(self.prev_uv[slots], self.dtype)), np.float64
+                    lift(self.cam, asdev(self.prev_uv[slots], self.dtype)), np.float64
                 )
         # per-feature normalized-coordinate velocity (`undistortedPoints`)
         vel = np.zeros_like(self.prev_norm)

@@ -45,7 +45,15 @@ _PROJ = np.random.default_rng(23).choice([-1.0, 1.0], (N_BRIEF_BITS, GDESC_DIM))
 
 @jax.jit
 def brief_descriptors(img, uv, valid):
-    """Packed 256-bit BRIEF per keypoint → [N, 8] uint32 (+ bit matrix)."""
+    """Packed 256-bit BRIEF per keypoint → [N, 8] uint32 (+ bit matrix).
+
+    The image is pre-blurred (two 5-tap binomial passes ≈ Gaussian σ≈1.5, the
+    cv::BRIEF convention) so single-pixel localization noise between the query
+    keypoint and the database corner doesn't flip test bits."""
+    from plslam.models.frontend_points import _sep_conv
+
+    k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+    img = _sep_conv(_sep_conv(img, k5), k5)
     pa = jnp.asarray(_PAT_A)
     pb = jnp.asarray(_PAT_B)
 
@@ -100,9 +108,35 @@ def extract_keyframe_features(img_j, extra_uv=None):
 
 
 # ----------------------------------------------------------------- PnP RANSAC
-def pnp_ransac(pts3d, pts2d_norm, iters=120, thresh=8.0 / 460.0, seed=0, min_inliers=12):
-    """`cv::solvePnPRansac` equivalent: DLT-6pt hypotheses + reprojection
-    scoring + refit (host numpy — runs only on loop candidates).
+def _dlt_batch(X, x):
+    """Batched DLT pose-from-points. X [..., M, 3] world, x [..., M, 2]
+    normalized obs → (R [...,3,3], t [...,3]) with x_c = R x_w + t.
+
+    One batched 2M×12 SVD for the projection matrix + one batched 3×3 SVD to
+    project onto SO(3) — the reference's per-hypothesis cv::solvePnP inner
+    solve, vectorized over all RANSAC hypotheses at once."""
+    M = X.shape[-2]
+    Xh = np.concatenate([X, np.ones(X.shape[:-1] + (1,))], axis=-1)  # [...,M,4]
+    zeros = np.zeros_like(Xh)
+    r0 = np.concatenate([Xh, zeros, -x[..., 0:1] * Xh], axis=-1)  # [...,M,12]
+    r1 = np.concatenate([zeros, Xh, -x[..., 1:2] * Xh], axis=-1)
+    A = np.concatenate([r0, r1], axis=-2)  # [...,2M,12]
+    _, _, Vt = np.linalg.svd(A)
+    P = Vt[..., -1, :].reshape(A.shape[:-2] + (3, 4))
+    Mm = P[..., :3]
+    U, S, Vt2 = np.linalg.svd(Mm)
+    scale = np.mean(S, axis=-1)
+    R = U @ Vt2
+    det = np.linalg.det(R)
+    R = R * np.sign(det)[..., None, None]
+    scale = scale * np.sign(det)
+    t = P[..., 3] / scale[..., None]
+    return R, t
+
+
+def pnp_ransac(pts3d, pts2d_norm, iters=128, thresh=10.0 / 460.0, seed=0, min_inliers=12):
+    """`cv::solvePnPRansac` equivalent: all DLT-6pt hypotheses built, solved
+    (batched SVD) and scored at once — no sequential hypothesis loop.
 
     pts3d [N,3] world, pts2d_norm [N,2] normalized obs in query cam.
     Returns (R_cw, t_cw, inlier_mask) with x_c = R_cw x_w + t_cw, or None."""
@@ -110,53 +144,38 @@ def pnp_ransac(pts3d, pts2d_norm, iters=120, thresh=8.0 / 460.0, seed=0, min_inl
     if n < 6:
         return None
     rng = np.random.default_rng(seed)
-
-    def dlt(idx):
-        X = pts3d[idx]
-        x = pts2d_norm[idx]
-        A = []
-        for k in range(len(idx)):
-            Xk = np.append(X[k], 1.0)
-            A.append(np.concatenate([Xk, np.zeros(4), -x[k, 0] * Xk]))
-            A.append(np.concatenate([np.zeros(4), Xk, -x[k, 1] * Xk]))
-        _, _, Vt = np.linalg.svd(np.asarray(A))
-        P = Vt[-1].reshape(3, 4)
-        M = P[:, :3]
-        # orthonormalize: SVD projection to rotation
-        U, S, Vt2 = np.linalg.svd(M)
-        scale = np.mean(S)
-        R = U @ Vt2
-        if np.linalg.det(R) < 0:
-            R = -R
-            scale = -scale
-        t = P[:, 3] / scale
-        return R, t
+    idx = np.stack([rng.choice(n, 6, replace=False) for _ in range(iters)])  # [I,6]
 
     def score(R, t):
-        pc = pts3d @ R.T + t
-        z = pc[:, 2]
-        proj = pc[:, :2] / np.where(np.abs(z[:, None]) > 1e-6, z[:, None], 1e-6)
-        err = np.linalg.norm(proj - pts2d_norm, axis=1)
+        """R [...,3,3], t [...,3] → inlier mask [...,N]."""
+        pc = np.einsum("...ij,nj->...ni", R, pts3d) + t[..., None, :]
+        z = pc[..., 2]
+        proj = pc[..., :2] / np.where(np.abs(z[..., None]) > 1e-6, z[..., None], 1e-6)
+        err = np.linalg.norm(proj - pts2d_norm, axis=-1)
         return (err < thresh) & (z > 0.1)
 
-    best = None
-    for _ in range(iters):
-        idx = rng.choice(n, 6, replace=False)
-        try:
-            R, t = dlt(idx)
-        except np.linalg.LinAlgError:
-            continue
-        inl = score(R, t)
-        if best is None or inl.sum() > best[2].sum():
-            best = (R, t, inl)
-    if best is None or best[2].sum() < min_inliers:
+    with np.errstate(all="ignore"):
+        R, t = _dlt_batch(pts3d[idx], pts2d_norm[idx])  # [I,3,3],[I,3]
+    ok = np.isfinite(R).all(axis=(1, 2)) & np.isfinite(t).all(axis=1)
+    inl = score(R, t) & ok[:, None]  # [I,N]
+    best_i = int(np.argmax(inl.sum(axis=1)))
+    best = (R[best_i], t[best_i], inl[best_i])
+    if best[2].sum() < min_inliers:
         return None
     R, t, inl = best
-    try:
-        R, t = dlt(np.nonzero(inl)[0][:24])
-        inl = score(R, t)
-    except np.linalg.LinAlgError:
-        pass
+    for _ in range(2):  # refit on inliers (cv's iterative refinement)
+        sel = np.nonzero(inl)[0][:48]
+        try:
+            with np.errstate(all="ignore"):
+                R2, t2 = _dlt_batch(pts3d[sel], pts2d_norm[sel])
+        except np.linalg.LinAlgError:
+            break
+        if not (np.isfinite(R2).all() and np.isfinite(t2).all()):
+            break
+        inl2 = score(R2, t2)
+        if inl2.sum() < inl.sum():
+            break
+        R, t, inl = R2, t2, inl2
     if inl.sum() < min_inliers:
         return None
     return R, t, inl
@@ -180,11 +199,13 @@ class KeyframeDB:
         self.n += 1
         return self.n - 1
 
-    def query(self, gdesc, exclude_last=50, min_score=0.15, top_k=4):
+    def query(self, gdesc, exclude_last=50, min_score=0.15, top_k=4, always_include=0):
         """Top-k cosine candidates older than `exclude_last` frames.
         Mirrors detectLoop's relative-threshold + temporal consistency: accept
-        when the best is strong and a second candidate is also present."""
-        hi = self.n - exclude_last
+        when the best is strong and a second candidate is also present.
+        `always_include`: entries [0, always_include) are a loaded previous
+        map — never "recent", so always searchable (relocalization)."""
+        hi = max(self.n - exclude_last, min(always_include, self.n))
         if hi <= 0:
             return None
         sims = self.gdescs[:hi] @ gdesc

@@ -22,11 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from plslam.utils.device import asdev
 from plslam.config import LoopConfig
 from plslam.models import keyframe_db as kdb
 from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
 
 MAX_EDGES_SEQ = 5
+# above this keyframe capacity the dense (4K)² PGO Hessian (268 MB at the
+# default 2048) gives way to the matrix-free PCG solver
+_PCG_THRESHOLD = 768
 
 
 def _rot_ypr(yaw, pitch, roll):
@@ -37,22 +41,12 @@ def _wrap(a):
     return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def optimize_4dof(
-    xyz0, yaw0, pitch, roll, node_valid,
-    e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop,
-    iters: int = 12,
-):
-    """Batched GN over [K,4]: positions + yaw.
+def _make_edge_system(xyz_shape_dtype, pitch, roll, e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop, yaw_scale=0.1):
+    """Shared per-edge residual/jacobian machinery of the 4-DoF PGO.
 
-    Edges: r_t = R(ψᵢ,θᵢ,φᵢ)ᵀ(p_j − p_i) − t̂ᵢⱼ ;  r_ψ = wrap(ψⱼ − ψᵢ − Δψ̂).
-    First valid node fixed (gauge). Returns (xyz [K,3], yaw [K])."""
-    K = xyz0.shape[0]
-    dtype = xyz0.dtype
-    yaw_scale = 0.1  # the reference weighs yaw/10 vs translation
-
-    first = jnp.argmax(node_valid)  # first valid keyframe is the gauge anchor
-    free = node_valid.at[first].set(0.0)
+    Returns (all_residuals(xyz, yaw) -> [E,4],
+             edge_system(xyz, yaw) -> (r, Jk) with Huber IRLS applied)."""
+    dtype = xyz_shape_dtype
 
     def edge_residual(xyz, yaw, k):
         i = e_i[k]
@@ -65,9 +59,7 @@ def optimize_4dof(
     def all_residuals(xyz, yaw):
         return jax.vmap(lambda k: edge_residual(xyz, yaw, k))(jnp.arange(e_i.shape[0]))
 
-    def gn_step(carry, _):
-        xyz, yaw, lam = carry
-
+    def edge_system(xyz, yaw):
         # per-edge jacobians wrt (xyz_i, yaw_i, xyz_j, yaw_j) via jacfwd
         def r_of(k, d):
             di = d[0:4]
@@ -84,8 +76,33 @@ def optimize_4dof(
         rn2 = jnp.sum(r * r, axis=-1)
         hub = jnp.where(rn2 > 1.0, 1.0 / jnp.sqrt(jnp.sqrt(rn2)), 1.0)
         w = jnp.where(e_loop > 0, hub, 1.0)
-        r = r * w[:, None]
-        Jk = Jk * w[:, None, None]
+        return r * w[:, None], Jk * w[:, None, None], w
+
+    return all_residuals, edge_system
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_4dof(
+    xyz0, yaw0, pitch, roll, node_valid,
+    e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop,
+    iters: int = 12,
+):
+    """Batched GN over [K,4]: positions + yaw (dense normal equations — the
+    small-graph path; `optimize_4dof_pcg` is the large-capacity path).
+
+    Edges: r_t = R(ψᵢ,θᵢ,φᵢ)ᵀ(p_j − p_i) − t̂ᵢⱼ ;  r_ψ = wrap(ψⱼ − ψᵢ − Δψ̂).
+    First valid node fixed (gauge). Returns (xyz [K,3], yaw [K])."""
+    K = xyz0.shape[0]
+    dtype = xyz0.dtype
+
+    first = jnp.argmax(node_valid)  # first valid keyframe is the gauge anchor
+    free = node_valid.at[first].set(0.0)
+    all_residuals, edge_system = _make_edge_system(
+        dtype, pitch, roll, e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop)
+
+    def gn_step(carry, _):
+        xyz, yaw, lam = carry
+        r, Jk, w = edge_system(xyz, yaw)
 
         # scatter-add into dense H [4K,4K], b [4K]
         H = jnp.zeros((4 * K, 4 * K), dtype)
@@ -134,13 +151,162 @@ def optimize_4dof(
     return xyz, yaw, costs
 
 
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_4dof_pcg(
+    xyz0, yaw0, pitch, roll, node_valid,
+    e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop,
+    iters: int = 12, cg_iters: int = 96,
+):
+    """Large-capacity 4-DoF PGO: GN with a matrix-free PCG inner solve.
+
+    The dense path materializes a (4K)² Hessian — 268 MB at the default
+    K=2048 capacity, with an O(K³) Cholesky. Here the Hessian is only ever
+    applied edge-wise (two scatter-adds per matvec, O(E) memory), and PCG is
+    preconditioned by the BLOCK-TRIDIAGONAL backbone of the graph — the
+    1-step sequential edges that dominate a pose graph — factored by a
+    block-Thomas `lax.scan`. Loop edges + longer sequential edges are a
+    low-rank/short-range perturbation of that backbone, so PCG converges in
+    tens of iterations regardless of K. Memory: O(K·4² + E·4·8).
+
+    Same semantics as `optimize_4dof` (gauge pinning, Huber IRLS on loop
+    edges, LM damping with accept/reject); returns (xyz [K,3], yaw [K], costs).
+    """
+    K = xyz0.shape[0]
+    dtype = xyz0.dtype
+    first = jnp.argmax(node_valid)
+    free = node_valid.at[first].set(0.0)  # [K] 1 = free
+    fm = jnp.broadcast_to(free[:, None], (K, 4))  # [K,4]
+    all_residuals, edge_system = _make_edge_system(
+        dtype, pitch, roll, e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop)
+    eye4 = jnp.eye(4, dtype=dtype)
+
+    def gn_step(carry, _):
+        xyz, yaw, lam = carry
+        r, Jk, w = edge_system(xyz, yaw)
+        Ji = Jk[:, :, 0:4]  # [E,4,4]
+        Jj = Jk[:, :, 4:8]
+
+        # gradient b = Jᵀ r, masked
+        b = jnp.zeros((K, 4), dtype)
+        b = b.at[e_i].add(jnp.einsum("era,er->ea", Ji, r))
+        b = b.at[e_j].add(jnp.einsum("era,er->ea", Jj, r))
+        b = b * fm
+
+        # diagonal blocks D [K,4,4] and tridiagonal off-blocks O [K,4,4]
+        # (O[k] couples k → k+1; only 1-step edges land there, the rest is
+        # left to CG)
+        D = jnp.zeros((K, 4, 4), dtype)
+        D = D.at[e_i].add(jnp.einsum("era,erb->eab", Ji, Ji))
+        D = D.at[e_j].add(jnp.einsum("era,erb->eab", Jj, Jj))
+        one_step = (e_j == e_i + 1)
+        Oij = jnp.einsum("era,erb->eab", Ji, Jj) * one_step[:, None, None]
+        O = jnp.zeros((K, 4, 4), dtype).at[e_i].add(Oij)
+
+        # masking + LM damping (H + λ·diag(H) on free dims, identity on pinned)
+        fi = fm[:, :, None] * fm[:, None, :]
+        diagD = jnp.einsum("kaa->ka", D)
+        damp = lam * diagD * fm
+        D = D * fi + jnp.einsum("ka,ab->kab", 1.0 - fm, eye4)
+        D = D + jnp.einsum("ka,ab->kab", damp, eye4)
+        fO = free[:, None, None] * jnp.roll(free, -1)[:, None, None]
+        O = O * fO  # zero off-blocks touching pinned nodes
+        O = O.at[K - 1].set(jnp.zeros((4, 4), dtype))  # no k=K-1 → K block
+
+        # implicit masked+damped Hessian matvec
+        def hvp(v):
+            vm = v * fm
+            ye = jnp.einsum("era,ea->er", Ji, vm[e_i]) + jnp.einsum("era,ea->er", Jj, vm[e_j])
+            out = jnp.zeros((K, 4), dtype)
+            out = out.at[e_i].add(jnp.einsum("era,er->ea", Ji, ye))
+            out = out.at[e_j].add(jnp.einsum("era,er->ea", Jj, ye))
+            return out * fm + (1.0 - fm) * v + damp * v
+
+        # block-Thomas factorization of the tridiagonal preconditioner:
+        # S_0 = D_0, S_k = D_k − O_{k−1}ᵀ S_{k−1}⁻¹ O_{k−1}
+        def fact_step(S_prev_inv_O, Dk_Okm1):
+            Dk, Okm1 = Dk_Okm1
+            Sk = Dk - Okm1.T @ S_prev_inv_O
+            Sk_inv = jnp.linalg.inv(Sk + 1e-10 * eye4)
+            return Sk_inv @ jnp.zeros((4, 4), dtype), (Sk_inv, Okm1)
+
+        O_prev = jnp.concatenate([jnp.zeros((1, 4, 4), dtype), O[:-1]], axis=0)
+
+        def fact_scan(carry, inp):
+            S_prev_inv = carry
+            Dk, Okm1 = inp
+            Sk = Dk - Okm1.T @ (S_prev_inv @ Okm1)
+            Sk_inv = jnp.linalg.inv(Sk + 1e-9 * eye4)
+            return Sk_inv, Sk_inv
+
+        _, S_inv = jax.lax.scan(fact_scan, jnp.zeros((4, 4), dtype), (D, O_prev))
+
+        def msolve(v):
+            # forward: w_k = v_k − O_{k−1}ᵀ S_{k−1}⁻¹ w_{k−1}
+            def fwd(carry, inp):
+                w_prev_solved = carry  # S_{k−1}⁻¹ w_{k−1}
+                vk, Okm1, Sk_inv = inp
+                wk = vk - Okm1.T @ w_prev_solved
+                return Sk_inv @ wk, wk
+
+            _, wseq = jax.lax.scan(fwd, jnp.zeros((4,), dtype), (v, O_prev, S_inv))
+            # backward: z_k = S_k⁻¹ (w_k − O_k z_{k+1})
+            def bwd(carry, inp):
+                z_next = carry
+                wk, Ok, Sk_inv = inp
+                zk = Sk_inv @ (wk - Ok @ z_next)
+                return zk, zk
+
+            _, zrev = jax.lax.scan(bwd, jnp.zeros((4,), dtype),
+                                   (wseq[::-1], O[::-1], S_inv[::-1]))
+            return zrev[::-1]
+
+        # PCG for H δ = −b
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            hp = hvp(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x = x + alpha * p
+            rr = rr - alpha * hp
+            z = msolve(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, rr, p, rz_new), rz_new
+
+        r0 = -b
+        z0 = msolve(r0)
+        (delta, _, _, _), _ = jax.lax.scan(
+            cg_body, (jnp.zeros((K, 4), dtype), r0, z0, jnp.sum(r0 * z0)),
+            None, length=cg_iters)
+
+        xyz_new = xyz + delta[:, 0:3]
+        yaw_new = yaw + delta[:, 3]
+        cost0 = jnp.sum(r * r)
+        r_new = all_residuals(xyz_new, yaw_new) * w[:, None]
+        cost1 = jnp.sum(r_new * r_new)
+        accept = cost1 < cost0
+        xyz = jnp.where(accept, xyz_new, xyz)
+        yaw = jnp.where(accept, yaw_new, yaw)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), jnp.minimum(lam * 8.0, 1e2))
+        return (xyz, yaw, lam), cost1
+
+    (xyz, yaw, _), costs = jax.lax.scan(
+        gn_step, (xyz0, yaw0, jnp.asarray(1e-4, dtype)), None, length=iters)
+    return xyz, yaw, costs
+
+
 class PoseGraph:
     """Host orchestration: keyframe insertion, loop detection, PGO trigger,
     drift composition (`PoseGraph` class equivalent)."""
 
-    def __init__(self, cfg: LoopConfig, focal=460.0):
+    def __init__(self, cfg: LoopConfig, focal=460.0, R_bc=None, p_bc=None):
         self.cfg = cfg
         self.db = kdb.KeyframeDB(cfg.max_keyframes)
+        # body_T_cam extrinsic (x_b = R_bc x_c + p_bc): PnP recovers a CAMERA
+        # pose; loop edges are between BODY poses, so the extrinsic must be
+        # composed (the reference's qic/tic in KeyFrame::findConnection)
+        self.R_bc = np.eye(3) if R_bc is None else np.asarray(R_bc, np.float64).reshape(3, 3)
+        self.p_bc = np.zeros(3) if p_bc is None else np.asarray(p_bc, np.float64)
         K = cfg.max_keyframes
         self.vio_p = np.zeros((K, 3))
         self.vio_q = np.zeros((K, 4))
@@ -157,6 +323,8 @@ class PoseGraph:
         self.loop_count = 0
         self._pending_opt = False
         self.last_match = None  # match_points payload for the estimator
+        self.stats = []  # per-candidate diagnostics (findConnection outcome)
+        self.base_n = 0  # keyframes [0, base_n) came from a loaded map
 
     # ------------------------------------------------------------- keyframes
     def add_keyframe(self, t, p_w, q_w, img=None, win_uv=None, win_pts3d=None, cam=None,
@@ -179,12 +347,14 @@ class PoseGraph:
         self.t_kf[k] = t
         self.n += 1
 
-        # sequential edges to up to 5 predecessors (FourDOFError, weight 1)
+        # sequential edges to up to 5 predecessors (FourDOFError, weight 1);
+        # never bridge the loaded-map → new-session discontinuity (the VIO
+        # relative pose across it is meaningless — reference sequence semantics)
         for back in range(1, MAX_EDGES_SEQ + 1):
             i = k - back
-            if i < 0:
+            if i < self.base_n:
                 break
-            Ri = np.asarray(_rot_ypr(jnp.asarray(self.opt_yaw[i]), jnp.asarray(self.pitch[i]), jnp.asarray(self.roll[i])))
+            Ri = np.asarray(_rot_ypr(asdev(self.opt_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
             rel_t = Ri.T @ (self.vio_p[k] - self.vio_p[i])
             rel_yaw = self.opt_yaw[k] - self.opt_yaw[i]
             self.edges.append(dict(i=i, j=k, t=rel_t, yaw=rel_yaw, w=1.0 if back == 1 else 0.6, loop=0))
@@ -193,7 +363,12 @@ class PoseGraph:
         self.last_match = None
         if img is not None:
             img_j = jnp.asarray(img, jnp.float32)
-            uv, valid, desc, gdesc = kdb.extract_keyframe_features(img_j)
+            # the keyframe's searchable corner set includes its OWN window
+            # points (the reference's computeWindowBRIEFPoint +
+            # computeBRIEFPoint union): a later revisit's window points — also
+            # tracked feature centers — then have geometrically consistent
+            # counterparts to match into
+            uv, valid, desc, gdesc = kdb.extract_keyframe_features(img_j, extra_uv=win_uv)
             # window-point descriptors (`computeWindowBRIEFPoint`)
             win_desc = None
             if win_uv is not None and len(win_uv):
@@ -203,7 +378,8 @@ class PoseGraph:
             entry = dict(uv=uv, valid=valid, desc=desc, cam=cam,
                          win_uv=win_uv, win_ids=win_ids, win_pts3d=win_pts3d,
                          win_desc=win_desc, img_shape=img.shape)
-            old = self.db.query(gdesc, exclude_last=self.cfg.min_loop_gap)
+            old = self.db.query(gdesc, exclude_last=self.cfg.min_loop_gap,
+                                always_include=self.base_n)
             self.db.add(entry, gdesc)
             if old is not None:
                 loop = self._find_connection(old, k, entry)
@@ -221,10 +397,14 @@ class PoseGraph:
         pose in the current world → loop edge + `match_points` for the
         estimator's relocalization (stored in `self.last_match`)."""
         old = self.db.entries[old_idx]
+        rec = dict(i=old_idx, j=cur_idx, matches=0, inliers=0, outcome="")
+        self.stats.append(rec)
         if cur_entry.get("win_desc") is None or cur_entry.get("win_pts3d") is None:
+            rec["outcome"] = "no_window_points"
             return None
         cam = cur_entry.get("cam") or old.get("cam")
         if cam is None or old.get("desc") is None:
+            rec["outcome"] = "no_descriptors"
             return None
         d_cur = jnp.asarray(cur_entry["win_desc"])
         d_old = jnp.asarray(old["desc"])
@@ -233,7 +413,9 @@ class PoseGraph:
         best = dist.argmin(axis=1)
         bestd = dist.min(axis=1)
         good = bestd < self.cfg.desc_hamming_thresh
+        rec["matches"] = int(good.sum())
         if good.sum() < 8:
+            rec["outcome"] = "few_matches"
             return None
         from plslam.ops.cameras import lift
 
@@ -242,27 +424,32 @@ class PoseGraph:
         norm_old = np.asarray(lift(cam, jnp.asarray(uv_old, jnp.float32)), np.float64)
         out = kdb.pnp_ransac(pts3d, norm_old, min_inliers=self.cfg.min_pnp_inliers)
         if out is None:
+            rec["outcome"] = "pnp_failed"
             return None
         R_cw, t_cw, inl = out
         # OLD keyframe's camera pose in the CURRENT world frame
         R_wc = R_cw.T
         p_wc = -R_cw.T @ t_cw
-        # body ≈ cam for the keyframe pipeline (extrinsic absorbed by PGO loss)
-        p_w_old = p_wc
-        R_w_old = R_wc
+        # compose body_T_cam⁻¹: T_wb = T_wc ∘ T_cb
+        R_w_old = R_wc @ self.R_bc.T
+        p_w_old = p_wc - R_w_old @ self.p_bc
         # loop edge old→cur: relative measured via the recovered old pose and
         # the CURRENT VIO pose
         j = cur_idx
         i = old_idx
         rel_t = R_w_old.T @ (self.vio_p[j] - p_w_old)
         yaw_old = float(np.asarray(rot_to_ypr(jnp.asarray(R_w_old)))[0])
-        yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(jnp.asarray(self.vio_q[j]))))[0])
+        yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[j]))))[0])
         rel_yaw = yaw_j - yaw_old
+        rec["inliers"] = int(np.sum(inl))
         # gates (`findConnection`)
         if abs(((rel_yaw - (self.opt_yaw[j] - self.opt_yaw[i])) + np.pi) % (2 * np.pi) - np.pi) > np.deg2rad(self.cfg.max_loop_yaw_deg):
+            rec["outcome"] = "yaw_gate"
             return None
         if np.linalg.norm(rel_t) > self.cfg.max_loop_translation:
+            rec["outcome"] = "translation_gate"
             return None
+        rec["outcome"] = "accepted"
         # match_points for the estimator (`/pose_graph/match_points`):
         # current-window feature ids + their normalized obs in the OLD camera
         ids = np.asarray(cur_entry["win_ids"]) if cur_entry.get("win_ids") is not None else None
@@ -277,42 +464,70 @@ class PoseGraph:
             )
         return dict(i=i, j=j, t=rel_t, yaw=rel_yaw, w=2.0, loop=1)
 
+    def fast_relocalize(self, edge):
+        """`fast_relocalization`: on a confirmed loop into the (loaded) map,
+        immediately shift the drift from the single loop edge — the map-frame
+        pose of the current keyframe implied by the measured relative pose —
+        without waiting for the full 4-DoF PGO."""
+        i, j = edge["i"], edge["j"]
+        Ri = np.asarray(_rot_ypr(asdev(self.opt_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
+        p_j_map = self.opt_p[i] + Ri @ np.asarray(edge["t"])
+        yaw_j_map = self.opt_yaw[i] + edge["yaw"]
+        vio_yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[j]))))[0])
+        self.yaw_drift = yaw_j_map - vio_yaw_j
+        Rz = np.asarray(_rot_ypr(asdev(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
+        self.r_drift = Rz
+        self.t_drift = p_j_map - Rz @ self.vio_p[j]
+        self.opt_p[j] = p_j_map
+        self.opt_yaw[j] = yaw_j_map
+
     # ------------------------------------------------------------------- PGO
     def optimize(self, iters=12):
-        """`optimize4DoF` + drift update."""
+        """`optimize4DoF` + drift update.
+
+        Small graphs use the dense-Hessian path; above `_PCG_THRESHOLD`
+        keyframes the dense (4K)² normal equations are replaced by the
+        matrix-free PCG path (O(E) memory, block-tridiagonal preconditioner).
+        Edge arrays are padded to the next power of two (`e_valid`-masked) so
+        every PGO trigger reuses a cached executable instead of recompiling
+        for each new edge count."""
         if self.n < 2 or not self.edges:
             return
         K = self.cfg.max_keyframes
         E = len(self.edges)
-        e_i = np.zeros(E, np.int32)
-        e_j = np.zeros(E, np.int32)
-        e_t = np.zeros((E, 3))
-        e_yaw = np.zeros(E)
-        e_w = np.zeros(E)
-        e_loop = np.zeros(E)
+        Ep = 1 << (E - 1).bit_length()  # pad: bounded recompilation
+        e_i = np.zeros(Ep, np.int32)
+        e_j = np.zeros(Ep, np.int32)
+        e_t = np.zeros((Ep, 3))
+        e_yaw = np.zeros(Ep)
+        e_w = np.zeros(Ep)
+        e_loop = np.zeros(Ep)
+        e_valid = np.zeros(Ep)
         for m, e in enumerate(self.edges):
             e_i[m], e_j[m] = e["i"], e["j"]
             e_t[m] = e["t"]
             e_yaw[m] = e["yaw"]
             e_w[m] = e["w"]
             e_loop[m] = e["loop"]
+            e_valid[m] = 1.0
         node_valid = np.zeros(K)
         node_valid[: self.n] = 1.0
 
-        xyz, yaw, costs = optimize_4dof(
-            jnp.asarray(self.opt_p), jnp.asarray(self.opt_yaw),
-            jnp.asarray(self.pitch), jnp.asarray(self.roll), jnp.asarray(node_valid),
+        solve = optimize_4dof if K < _PCG_THRESHOLD else optimize_4dof_pcg
+        xyz, yaw, costs = solve(
+            asdev(self.opt_p), asdev(self.opt_yaw),
+            asdev(self.pitch), asdev(self.roll), jnp.asarray(node_valid),
             jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_t), jnp.asarray(e_yaw),
-            jnp.asarray(e_w), jnp.asarray(e_valid := np.ones(E)), jnp.asarray(e_loop),
+            jnp.asarray(e_w), jnp.asarray(e_valid), jnp.asarray(e_loop),
             iters=iters,
         )
         self.opt_p[: self.n] = np.asarray(xyz)[: self.n]
         self.opt_yaw[: self.n] = np.asarray(yaw)[: self.n]
         # drift: last keyframe optimized vs VIO (§A.7)
         k = self.n - 1
-        vio_yaw = float(np.asarray(rot_to_ypr(quat_to_rot(jnp.asarray(self.vio_q[k]))))[0])
+        vio_yaw = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[k]))))[0])
         self.yaw_drift = self.opt_yaw[k] - vio_yaw
-        Rz = np.asarray(_rot_ypr(jnp.asarray(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
+        Rz = np.asarray(_rot_ypr(asdev(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
         self.r_drift = Rz
         self.t_drift = self.opt_p[k] - Rz @ self.vio_p[k]
         self._pending_opt = False
@@ -320,29 +535,74 @@ class PoseGraph:
     def correct(self, p_vio, q_vio):
         """Apply the current drift to a live VIO pose (`updatePath` output)."""
         p = self.r_drift @ np.asarray(p_vio) + self.t_drift
-        q = np.asarray(quat_mul(rot_to_quat(jnp.asarray(self.r_drift)), jnp.asarray(q_vio)))
+        q = np.asarray(quat_mul(rot_to_quat(asdev(self.r_drift)), jnp.asarray(q_vio)))
         return p, q
 
     # --------------------------------------------------------------- save/load
     def save(self, path):
-        """`savePoseGraph` (npz instead of the reference's txt+per-kf files)."""
+        """`savePoseGraph` (npz instead of the reference's txt+per-kf files).
+
+        Persists everything `_find_connection` needs — per-keyframe dense
+        corners (uv/valid), their BRIEF descriptors, the window points
+        (uv/ids/world-3D/descriptors) and the camera intrinsics — so a new
+        session can relocalize against the loaded map exactly like the
+        reference's `load_previous_pose_graph` + `fast_relocalization`."""
+        n = self.n
+        # keyframes added without imagery have no DB entry — pad so every
+        # keyframe slot round-trips (its appearance data just stays empty)
+        ents = (self.db.entries + [{}] * n)[:n]
+        cam = next((e.get("cam") for e in ents if e.get("cam") is not None), None)
+
+        def stack(key, shape, dtype):
+            out = np.zeros((n,) + shape, dtype)
+            for k, e in enumerate(ents):
+                v = e.get(key)
+                if v is not None:
+                    out[k] = v
+            return out
+
+        # variable-length window arrays → concatenation + offsets
+        w_cnt = np.array([0 if e.get("win_uv") is None else len(e["win_uv"]) for e in ents], np.int64)
+        w_off = np.concatenate([[0], np.cumsum(w_cnt)])
+        cat = lambda key, width, dtype: (
+            np.concatenate([np.asarray(e[key], dtype).reshape(c, width) for e, c in zip(ents, w_cnt) if c],
+                           axis=0) if w_cnt.sum() else np.zeros((0, width), dtype))
+        kp = kdb.MAX_KP
         np.savez_compressed(
             path,
-            n=self.n, vio_p=self.vio_p[: self.n], vio_q=self.vio_q[: self.n],
-            opt_p=self.opt_p[: self.n], opt_yaw=self.opt_yaw[: self.n],
-            pitch=self.pitch[: self.n], roll=self.roll[: self.n],
-            t_kf=self.t_kf[: self.n],
+            n=n, base_n=self.base_n,
+            vio_p=self.vio_p[:n], vio_q=self.vio_q[:n],
+            opt_p=self.opt_p[:n], opt_yaw=self.opt_yaw[:n],
+            pitch=self.pitch[:n], roll=self.roll[:n],
+            t_kf=self.t_kf[:n],
             edges_i=[e["i"] for e in self.edges], edges_j=[e["j"] for e in self.edges],
             edges_t=[e["t"] for e in self.edges], edges_yaw=[e["yaw"] for e in self.edges],
             edges_w=[e["w"] for e in self.edges], edges_loop=[e["loop"] for e in self.edges],
             gdescs=self.db.gdescs[: self.db.n],
+            kf_uv=stack("uv", (kp, 2), np.float32),
+            kf_valid=stack("valid", (kp,), bool),
+            kf_desc=stack("desc", (kp, kdb.N_BRIEF_WORDS), np.uint32),
+            win_cnt=w_cnt,
+            win_uv=cat("win_uv", 2, np.float64),
+            win_ids=cat("win_ids", 1, np.int64),
+            win_pts3d=cat("win_pts3d", 3, np.float64),
+            win_desc=cat("win_desc", kdb.N_BRIEF_WORDS, np.uint32),
+            cam_params=(np.zeros(8) if cam is None else np.array(
+                [cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2], np.float64)),
+            has_cam=cam is not None,
         )
 
     def load(self, path):
-        """`loadPoseGraph` + relocalize-against-saved-map support."""
+        """`loadPoseGraph`: restore the full relocalization-capable map.
+        Keyframes added after a load belong to a NEW session: sequential edges
+        never bridge the map→session discontinuity (reference sequence
+        semantics), and a loop edge into the map relocalizes the session."""
+        from plslam.ops.cameras import PinholeRadTan
+
         z = np.load(path, allow_pickle=True)
         n = int(z["n"])
         self.n = n
+        self.base_n = n  # everything loaded is the previous map
         self.vio_p[:n] = z["vio_p"]
         self.vio_q[:n] = z["vio_q"]
         self.opt_p[:n] = z["opt_p"]
@@ -358,4 +618,19 @@ class PoseGraph:
         ]
         self.db.gdescs[: len(z["gdescs"])] = z["gdescs"]
         self.db.n = len(z["gdescs"])
-        self.db.entries = [dict(pts3d=None) for _ in range(self.db.n)]
+        cam = None
+        if bool(z["has_cam"]):
+            fx, fy, cx, cy, k1, k2, p1, p2 = z["cam_params"]
+            cam = PinholeRadTan.create(fx, fy, cx, cy, k1, k2, p1, p2)
+        w_cnt = z["win_cnt"]
+        w_off = np.concatenate([[0], np.cumsum(w_cnt)])
+        self.db.entries = []
+        for k in range(n):
+            lo, hi = int(w_off[k]), int(w_off[k + 1])
+            self.db.entries.append(dict(
+                uv=z["kf_uv"][k], valid=z["kf_valid"][k], desc=z["kf_desc"][k], cam=cam,
+                win_uv=z["win_uv"][lo:hi] if hi > lo else None,
+                win_ids=z["win_ids"][lo:hi, 0] if hi > lo else None,
+                win_pts3d=z["win_pts3d"][lo:hi] if hi > lo else None,
+                win_desc=z["win_desc"][lo:hi] if hi > lo else None,
+            ))

@@ -233,14 +233,20 @@ def distributed_optimize_window(
                 "lmk",
             )
 
-            accept = cost_try < cost
+            # a failed inner solve (Cholesky on a near-indefinite f32 system at
+            # low damping) yields NaN deltas → NaN cost_try: treat as a
+            # rejected step (lam grows, next iteration retries) and keep the
+            # cost finite instead of letting min(NaN, ·) poison the report
+            good = jnp.isfinite(cost_try)
+            accept = good & (cost_try < cost)
             pick = lambda a, c: jnp.where(accept, a, c)
             st_cam_new = jax.tree.map(pick, _strip(st_try), _strip(st))
             inv_new = pick(st_try.inv_depth, inv_d)
             line_new = pick(st_try.line, line)
             lam_new = jnp.where(accept, jnp.maximum(lam * 0.4, cfg.lm_lambda_min),
                                 jnp.minimum(lam * 5.0, cfg.lm_lambda_max))
-            return (st_cam_new, inv_new, line_new, lam_new, jnp.minimum(cost_try, cost)), None
+            cost_out = jnp.where(good, jnp.minimum(cost_try, cost), cost)
+            return (st_cam_new, inv_new, line_new, lam_new, cost_out), None
 
         lam0 = jnp.asarray(cfg.lm_lambda_init, dtype)
         init = (state_repl, inv_d_l[0], line_l[0], lam0, jnp.zeros((), dtype))

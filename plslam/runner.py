@@ -49,7 +49,17 @@ def run_euroc(
                         focal=config.camera.fx,  # px→normalized via the real camera
                         min_score=config.tracker.min_score)
     fLines = FrontendLines(cam, max_lines=config.tracker.max_lines) if use_lines else None
-    pgraph = PoseGraph(config.loop, focal=config.solver.focal_length) if loop_closure else None
+    pgraph = PoseGraph(config.loop, focal=config.solver.focal_length,
+                       R_bc=np.asarray(config.extrinsic.rot).reshape(3, 3),
+                       p_bc=np.asarray(config.extrinsic.trans)) if loop_closure else None
+    if pgraph is not None and config.loop.load_previous_pose_graph:
+        import os
+
+        pg_file = config.loop.pose_graph_save_path
+        if os.path.isdir(pg_file):
+            pg_file = os.path.join(pg_file, "pose_graph.npz")
+        if os.path.exists(pg_file):
+            pgraph.load(pg_file)
 
     stride = max(1, round(20 / config.tracker.freq))  # FREQ control on 20 Hz camera
     frame_idx = range(0, len(seq.cam_t), stride)
@@ -90,6 +100,11 @@ def run_euroc(
                     # `setReloFrame`): next solve refines the loop jointly
                     mm = pgraph.last_match
                     est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"])
+                if (loop is not None and config.loop.fast_relocalization
+                        and loop["i"] < pgraph.base_n):
+                    # loop edge lands in the LOADED map: snap the drift from
+                    # this single edge immediately (`fast_relocalization`)
+                    pgraph.fast_relocalize(loop)
                 if pgraph._pending_opt:
                     pgraph.optimize()
                 p, q = pgraph.correct(p, q)
@@ -98,6 +113,14 @@ def run_euroc(
             qs_out.append(q)
         if progress and k % 100 == 0:
             print(f"[{k}] t={t:.2f} init={est.initialized} pts={m.get('n_pts')} lines={m.get('n_lines')}")
+    if pgraph is not None and config.loop.save_pose_graph:
+        import os
+
+        pg_file = config.loop.pose_graph_save_path
+        if not pg_file.endswith(".npz"):
+            os.makedirs(pg_file, exist_ok=True)
+            pg_file = os.path.join(pg_file, "pose_graph.npz")
+        pgraph.save(pg_file)
     return np.asarray(ts_out), np.asarray(ps_out), np.asarray(qs_out), est, pgraph
 
 

@@ -1,0 +1,24 @@
+"""Host→device array conversion with a defensive copy.
+
+On the CPU backend, XLA may ZERO-COPY a numpy buffer into a jax.Array when
+dtype/layout/alignment line up (observed for float64 and int32 arrays when
+the requested dtype matches). The jax.Array is then an alias of the live
+host buffer: any later in-place numpy mutation silently mutates the
+"immutable" device array. This corrupted the estimator's factor snapshot —
+`_reject_outliers` drops slots in place between the solve and the
+marginalization, and the marginalization then read post-drop tables
+(nondeterministically, since whether XLA zero-copies depends on allocation
+details). On TPU the transfer always copies; tests (CPU, float64) bite.
+
+Every conversion of a host array that is mutated in place afterwards must go
+through `asdev`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def asdev(x, dtype=None):
+    """`jnp.asarray` with a guaranteed host-side copy first."""
+    return jnp.asarray(np.array(x), dtype)

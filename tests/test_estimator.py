@@ -50,3 +50,39 @@ def test_vio_real_initialization(seq):
     assert est.initialized, "visual-inertial initialization failed"
     ate = _ate(seq, ts, ps)
     assert ate < 0.05, f"ATE {ate:.4f} m"
+
+
+def test_gapped_track_depth_transfer():
+    """Gapped tracks (oracle frontends: FOV flicker under landmark-index ids)
+    are KEPT — every real observation constrains the solve — but `slide_old`
+    must never re-anchor a depth against a frame the feature wasn't observed
+    in: a frame-0-anchored depth transfers only when frame 1 is observed,
+    resets to -1 otherwise, and `start` tracks the first OBSERVED column
+    (ADVICE r1)."""
+    from plslam.models.feature_table import PointTable
+
+    cfg = SolverConfig(max_features=8, max_line_feats=4)
+    tbl = PointTable(cfg)
+    # feature 10: frames 0, 2, 3 (gap at 1); feature 11: frames 0, 1, 2
+    tbl.add_frame(0, [10, 11], [[0.1, 0.0], [0.2, 0.1]])
+    tbl.add_frame(1, [11], [[0.21, 0.1]])
+    tbl.add_frame(2, [10, 11], [[0.12, 0.0], [0.22, 0.1]])
+    tbl.add_frame(3, [10], [[0.13, 0.0]])
+    s10 = int(np.nonzero(tbl.ids == 10)[0][0])
+    s11 = int(np.nonzero(tbl.ids == 11)[0][0])
+    # the gap is kept: all three observations present, anchor unchanged
+    assert tbl.mask[s10, 0] and not tbl.mask[s10, 1] and tbl.mask[s10, 2]
+    assert tbl.start[s10] == 0
+
+    tbl.inv_depth[s10] = 0.5
+    tbl.inv_depth[s11] = 0.5
+    p0, q0 = np.zeros(3), np.array([1.0, 0, 0, 0])
+    p1, q1 = np.array([0.1, 0.0, 0.0]), np.array([1.0, 0, 0, 0])
+    tbl.slide_old(p0, q0, p1, q1)
+    # contiguous feature 11: pure x-translation, same depth axis → unchanged
+    np.testing.assert_allclose(tbl.inv_depth[s11], 0.5, atol=1e-12)
+    assert tbl.start[s11] == 0
+    # gapped feature 10: depth NOT transferred against the unobserved frame-1
+    # camera — reset for re-triangulation, anchor = first observed column
+    assert tbl.inv_depth[s10] == -1.0
+    assert tbl.start[s10] == 1  # old frame 2

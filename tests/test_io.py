@@ -109,3 +109,53 @@ def test_checkpoint_resume():
     np.testing.assert_allclose(est2.p, est.p, atol=1e-12)
     np.testing.assert_allclose(est2.pt_table.inv_depth, est.pt_table.inv_depth, atol=1e-12)
     assert (est2.pt_table.ids == est.pt_table.ids).all()
+
+
+def _run_frames(est, seq, k0, k1, stride=2):
+    """Drive the estimator over processed-frame indices [k0, k1) with
+    index-deterministic IMU dts (so an interrupted run can resume exactly)."""
+    imu_t = np.asarray(seq.imu_t)
+    frame_t = np.asarray(seq.frame_t)[::stride]
+    obs = np.asarray(seq.obs)[::stride]
+    valid = np.asarray(seq.obs_valid)[::stride]
+    gt_p = np.asarray(seq.gt_p)[::stride]
+    gt_q = np.asarray(seq.gt_q)[::stride]
+    gt_v = np.asarray(seq.gt_v)[::stride]
+    for k in range(k0, k1):
+        t = frame_t[k]
+        lo = frame_t[k - 1] if k > 0 else -np.inf
+        for i in np.nonzero((imu_t > lo + 1e-9) & (imu_t <= t + 1e-9))[0]:
+            dt = imu_t[i] - imu_t[i - 1] if i > 0 else 0.005
+            est.process_imu(dt, np.asarray(seq.imu_acc[i]), np.asarray(seq.imu_gyr[i]))
+        vis = np.nonzero(valid[k])[0]
+        est.process_frame(
+            float(t), vis, obs[k, vis], None, None, None,
+            oracle_state={"p": gt_p[k], "q": gt_q[k], "v": gt_v[k]},
+        )
+
+
+@pytest.mark.slow
+def test_checkpoint_exact_resume(tmp_path):
+    """Resume must continue processing EXACTLY like the uninterrupted run —
+    including the open IMU interval's boundary sample (last_acc/last_gyr),
+    which a checkpoint taken right after process_frame would otherwise lose
+    (ADVICE r1)."""
+    cfg = PLSlamConfig(solver=SolverConfig(max_features=64, max_line_feats=16, dtype="float64"))
+    seq = synthetic.make_sequence(duration=8.0, n_points=100, n_lines=8, seed=5)
+
+    est_full = Estimator(cfg)
+    _run_frames(est_full, seq, 0, 34)
+
+    est_half = Estimator(cfg)
+    _run_frames(est_half, seq, 0, 21)
+    path = str(tmp_path / "ck.npz")
+    save_estimator(est_half, path)
+    est_res = Estimator(cfg)
+    load_estimator(est_res, path)
+    assert est_res.last_acc is not None, "boundary sample must survive the checkpoint"
+    _run_frames(est_res, seq, 21, 34)
+
+    np.testing.assert_allclose(est_res.p, est_full.p, atol=1e-9)
+    np.testing.assert_allclose(est_res.v, est_full.v, atol=1e-9)
+    np.testing.assert_allclose(est_res.q, est_full.q, atol=1e-9)
+    np.testing.assert_allclose(est_res.ba, est_full.ba, atol=1e-9)

@@ -44,3 +44,36 @@ def test_survives_corrupted_observations(seq):
     half = len(ts) // 3
     ate = ate_rmse(ts[:half], ps[:half], np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
     assert ate < 0.05, f"clean-prefix ATE {ate:.4f}"
+
+
+@pytest.mark.slow
+def test_imu_pad_overflow_forces_keyframe(monkeypatch):
+    """Low-parallax (hover-like) stretches produce long MARGIN_SECOND_NEW merge
+    chains; the estimator must force a keyframe before the merged interval
+    overflows the IMU_PAD preintegration bucket so every IMU factor covers its
+    full frame gap (ADVICE r1: no silent truncation). A small IMU_PAD makes
+    the overflow reachable in a few merges."""
+    from plslam.models import estimator as est_mod
+
+    monkeypatch.setattr(est_mod, "IMU_PAD", 64)
+    params = synthetic.TrajectoryParams(
+        radius=4.0, omega=0.005, z_amp=0.0, pitch_amp=0.0, roll_amp=0.0
+    )
+    seq = synthetic.make_sequence(
+        duration=6.0, n_points=120, n_lines=8, params=params, seed=3
+    )
+    cfg = PLSlamConfig(solver=SolverConfig(max_features=96, max_line_feats=8, dtype="float64"))
+    ts, ps, qs, est = run_synthetic(seq, cfg, oracle_init=True, use_lines=False)
+
+    # a merge chain actually formed (the scenario is exercised) ...
+    assert max(len(b.dt) for b in est.imu_bufs) > 32
+    # ... and no interval ever outgrew the bucket
+    assert all(len(b.dt) <= 64 for b in est.imu_bufs)
+    # every closed preintegration covers its full frame gap
+    nw = est.cfg.window_size
+    for k in range(1, min(nw + 1, len(est.pres))):
+        pre = est.pres[k]
+        if pre is None:
+            continue
+        gap = est.timestamps[k] - est.timestamps[k - 1]
+        assert abs(float(pre["dt_sum"]) - gap) < 1e-6, (k, float(pre["dt_sum"]), gap)
