@@ -62,10 +62,12 @@ def main():
     ]
 
     # ------------------- point frontend tick (chained) ----------------------
+    NLVL = fp.auto_levels((H, W))
+
     @jax.jit
-    def pt_tick(pyr0, pyr1, pyr2, img_new, uv, valid):
+    def pt_tick(pyr_prev, img_new, uv, valid):
         pyr_new = fp.build_pyramid(img_new)
-        out, status = fp.lk_track_fast((pyr0, pyr1, pyr2), pyr_new, uv, valid)
+        out, status = fp.lk_track_fast(pyr_prev, pyr_new, uv, valid)
         ok = (status > 0) & valid
         det_uv, det_sc = fp.shi_tomasi_grid(pyr_new[0], out, ok.astype(dtype),
                                             cell=30, max_out=MAX_PTS)
@@ -73,7 +75,7 @@ def main():
         fill = jnp.clip(jnp.cumsum(~ok) - 1, 0, MAX_PTS - 1)
         uv2 = jnp.where(ok[:, None], out, det_uv[fill])
         valid2 = ok | (det_sc[fill] > 1e-5)
-        return pyr_new[0], pyr_new[1], pyr_new[2], uv2, valid2
+        return tuple(pyr_new), uv2, valid2
 
     # -------------------- line frontend tick (chained) ----------------------
     @jax.jit
@@ -119,12 +121,12 @@ def main():
     # ------------------------------- warmup ---------------------------------
     uv0, sc0 = fp.shi_tomasi_grid(imgs[0], jnp.zeros((1, 2), dtype),
                                   jnp.zeros((1,), dtype), cell=30, max_out=MAX_PTS)
-    pyr = fp.build_pyramid(imgs[0])
-    pt_state = (pyr[0], pyr[1], pyr[2], uv0, sc0 > 1e-5)
+    pyr = fp.build_pyramid(imgs[0], levels=NLVL)
+    pt_state = (tuple(pyr), uv0, sc0 > 1e-5)
     ln_state = ln_tick(imgs[0], jnp.zeros((MAX_LINES, 4), dtype),
                        jnp.zeros((MAX_LINES, fl.N_BANDS * 8), dtype),
                        jnp.zeros((MAX_LINES,), dtype))[:3]
-    pt_state = pt_tick(*pt_state[:3], imgs[1], pt_state[3], pt_state[4])
+    pt_state = pt_tick(pt_state[0], imgs[1], pt_state[1], pt_state[2])
     be_out = be_tick(state, f)
     jax.block_until_ready((pt_state, ln_state, be_out))
 
@@ -136,8 +138,8 @@ def main():
         for i in range(n):
             img = imgs[i % N_IMGS]
             if do_pt:
-                pt_state = pt_tick(*pt_state[:3], img, pt_state[3], pt_state[4])
-                outs.append(pt_state[3])
+                pt_state = pt_tick(pt_state[0], img, pt_state[1], pt_state[2])
+                outs.append(pt_state[1])
             if do_ln:
                 s, d, v, m = ln_tick(img, *ln_state)
                 ln_state = (s, d, v)
@@ -162,7 +164,7 @@ def main():
     st_out, stats, prior = be_tick(state, f)
     n_pts = int(np.asarray(jnp.sum(f.pt_valid)))
     n_lns = int(np.asarray(jnp.sum(f.ln_valid)))
-    n_trk = int(np.asarray(jnp.sum(pt_state[4])))
+    n_trk = int(np.asarray(jnp.sum(pt_state[2])))
     print(
         f"# device={dev.platform} chained full-system tick={t_all*1e3:.1f}ms → {fps:.1f} fps\n"
         f"#   points={t_pt*1e3:.1f}ms ({n_trk}/{MAX_PTS} live, LK+detect+feedback 752x480)\n"

@@ -64,6 +64,11 @@ class SolverConfig:
     eig_eps: float = 1e-8  # marginalization eigenvalue floor
     # solver dtype for the normal equations ("float32" | "float64")
     dtype: str = "float32"
+    # line factor parameterization (the reference ships three variants:
+    # `lineProjectionFactor` world-frame, `…_incamera` anchored in the first
+    # observing camera, `…_instartframe` anchored in the first observing body
+    # frame — factor/line_projection_factor.cpp, SURVEY.md §2.3)
+    line_param: str = "world"  # "world" | "incamera" | "instartframe"
 
 
 @dataclass(frozen=True)
@@ -166,6 +171,7 @@ class PLSlamConfig:
             max_line_feats=g("max_line_feats", 64),
             focal_length=g("focal_length", 460.0),
             dtype=g("solver_dtype", "float32"),
+            line_param=g("line_param", "world"),
         )
         imu = ImuConfig(
             acc_n=g("acc_n", 0.08), gyr_n=g("gyr_n", 0.004),

@@ -64,22 +64,60 @@ def ate_rmse(est_t, est_p, gt_t, gt_p, align="yaw", max_dt=0.02):
     return float(np.sqrt(np.mean(np.sum(err * err, axis=1))))
 
 
-def rpe(est_t, est_p, gt_t, gt_p, delta=1.0, max_dt=0.02):
-    """Relative pose error (translation) over windows of `delta` seconds."""
-    est_p_a, gt_p_a, ts = associate(est_t, est_p, gt_t, gt_p, max_dt, return_t=True)
-    errs = []
+def rpe(est_t, est_p, gt_t, gt_p, est_q=None, gt_q=None, delta=1.0, max_dt=0.02):
+    """Relative pose error over windows of `delta` seconds — evo/TUM
+    semantics: for each pair (i, j=i+Δ) the error motion is
+    E = (Q_i⁻¹ Q_j)⁻¹ (P_i⁻¹ P_j) with Q ground truth, P estimate (full SE(3)
+    relative motions compared in the frame of pose i — NOT the norm of the
+    translation deltas). Returns (trans_rmse [m], rot_rmse [deg]); rotation is
+    NaN when quaternions aren't supplied.
+
+    est_q/gt_q: [N,4] wxyz body orientations aligned with est_t/gt_t rows."""
+    from plslam.utils import quat_np as qnp
+
+    est_t = np.asarray(est_t)
+    gt_t = np.asarray(gt_t)
+    idx = np.searchsorted(gt_t, est_t)
+    idx = np.clip(idx, 1, len(gt_t) - 1)
+    use_left = np.abs(est_t - gt_t[idx - 1]) < np.abs(est_t - gt_t[idx])
+    gi = np.where(use_left, idx - 1, idx)
+    ok = np.abs(gt_t[gi] - est_t) <= max_dt
+    P_p = np.asarray(est_p)[ok]
+    G_p = np.asarray(gt_p)[gi][ok]
+    ts = est_t[ok]
+    have_rot = est_q is not None and gt_q is not None
+    if have_rot:
+        P_q = np.asarray(est_q)[ok]
+        G_q = np.asarray(gt_q)[gi][ok]
+
+    t_errs, r_errs = [], []
     j = 0
     for i in range(len(ts)):
         while j < len(ts) and ts[j] < ts[i] + delta:
             j += 1
         if j >= len(ts):
             break
-        de = est_p_a[j] - est_p_a[i]
-        dg = gt_p_a[j] - gt_p_a[i]
-        errs.append(np.linalg.norm(de) - np.linalg.norm(dg))
-    if not errs:
-        return float("nan")
-    return float(np.sqrt(np.mean(np.square(errs))))
+        if have_rot:
+            # relative motions in the frame of pose i
+            d_est_t = qnp.quat_rotate(qnp.quat_conj(P_q[i]), P_p[j] - P_p[i])
+            d_gt_t = qnp.quat_rotate(qnp.quat_conj(G_q[i]), G_p[j] - G_p[i])
+            d_est_q = qnp.quat_mul(qnp.quat_conj(P_q[i]), P_q[j])
+            d_gt_q = qnp.quat_mul(qnp.quat_conj(G_q[i]), G_q[j])
+            # error motion E = d_gt⁻¹ ∘ d_est
+            e_q = qnp.quat_mul(qnp.quat_conj(d_gt_q), d_est_q)
+            e_t = qnp.quat_rotate(qnp.quat_conj(d_gt_q), d_est_t - d_gt_t)
+            t_errs.append(np.linalg.norm(e_t))
+            r_errs.append(2.0 * np.arccos(np.clip(abs(e_q[0]), -1.0, 1.0)))
+        else:
+            # translation-only fallback: compare delta vectors in a common
+            # frame is impossible without orientation; use gt frame via the
+            # instantaneous gt direction (evo's point-relation mode)
+            t_errs.append(np.linalg.norm((P_p[j] - P_p[i]) - (G_p[j] - G_p[i])))
+    if not t_errs:
+        return float("nan"), float("nan")
+    t_rmse = float(np.sqrt(np.mean(np.square(t_errs))))
+    r_rmse = float(np.rad2deg(np.sqrt(np.mean(np.square(r_errs))))) if r_errs else float("nan")
+    return t_rmse, r_rmse
 
 
 def associate(est_t, est_p, gt_t, gt_p, max_dt=0.02, return_t=False):

@@ -42,7 +42,7 @@ def _pose_dims(lay, k):
 
 
 def assemble(state: WindowState, f: res.WindowFactors, lay: TangentLayout,
-             focal: float, pt_w, ln_w, relo_w):
+             focal: float, pt_w, ln_w, relo_w, line_param: str = "world"):
     """Returns (H [D,D], b [D], cost) of the full weighted problem."""
     D = lay.dim
     dtype = state.p.dtype
@@ -157,16 +157,32 @@ def assemble(state: WindowState, f: res.WindowFactors, lay: TangentLayout,
     b = b.at[idx_pt].add(jnp.einsum("fjra,fjr->fja", J_pt, r_pt))
     cost += 0.5 * jnp.sum(r_pt * r_pt)
 
-    # ---------------- line factors (local dim 16 per slot) ----------------
+    # ---------------- line factors (local dim 16 / 22 per slot) ----------------
+    # world parameterization: d = [pose_j(6), ext(6), line-orth(4)] (16).
+    # anchored variants (`_incamera`/`_instartframe`): the line rides its
+    # first-observing frame, so the anchor pose joins the local block:
+    # d = [pose_i(6), pose_j(6), ext(6), line-orth(4)] (22).
     ML = lay.max_l
+    anchored = line_param != "world"
 
     def ln_local(li, j, d):
-        # d: [16] = [pose_j(6), ext(6), line-orth(4)]
+        if anchored:
+            i = f.ln_start[li]
+            p_i = state.p[i] + d[0:3]
+            q_i = quat_box_plus(state.q[i], d[3:6])
+            d = d[6:]
         p_j = state.p[j] + d[0:3]
         q_j = quat_box_plus(state.q[j], d[3:6])
         p_bc = state.p_bc + d[6:9]
         q_bc = quat_box_plus(state.q_bc, d[9:12])
         L = orth_retract(state.line[li], d[12:16])
+        if anchored:
+            if line_param == "incamera":
+                q_a = quat_mul(q_i, q_bc)
+                p_a = p_i + quat_rotate(q_i, p_bc)
+            else:  # instartframe
+                q_a, p_a = q_i, p_i
+            L = plucker_transform(L, quat_to_rot(q_a), p_a)
         q_wc = quat_mul(q_j, q_bc)
         p_wc = p_j + quat_rotate(q_j, p_bc)
         p_cw, q_cw = pose_inverse(p_wc, q_wc)
@@ -175,23 +191,27 @@ def assemble(state: WindowState, f: res.WindowFactors, lay: TangentLayout,
         m = f.ln_mask[li, j] * f.ln_valid[li]
         return r * m * (focal / 1.5) * ln_w[li, j]
 
-    zero16 = jnp.zeros((16,), dtype)
+    ln_dim = 22 if anchored else 16
+    zero_ln = jnp.zeros((ln_dim,), dtype)
     lis = jnp.arange(ML)
 
     def per_lslot(li, j):
-        r = ln_local(li, j, zero16)
-        J = jax.jacfwd(lambda d: ln_local(li, j, d))(zero16)
+        r = ln_local(li, j, zero_ln)
+        J = jax.jacfwd(lambda d: ln_local(li, j, d))(zero_ln)
         return r, J
 
     r_ln, J_ln = jax.vmap(lambda li: jax.vmap(lambda j: per_lslot(li, j))(js))(lis)
-    idx_ln = jax.vmap(
-        lambda li: jax.vmap(
-            lambda j: jnp.concatenate([
-                _pose_dims(lay, j), lay.off_ext + jnp.arange(6),
-                lay.off_line + 4 * li + jnp.arange(4),
-            ])
-        )(js)
-    )(lis)  # [ML,NW,16]
+
+    def ln_idx(li, j):
+        tail = jnp.concatenate([
+            _pose_dims(lay, j), lay.off_ext + jnp.arange(6),
+            lay.off_line + 4 * li + jnp.arange(4),
+        ])
+        if anchored:
+            return jnp.concatenate([_pose_dims(lay, f.ln_start[li]), tail])
+        return tail
+
+    idx_ln = jax.vmap(lambda li: jax.vmap(lambda j: ln_idx(li, j))(js))(lis)  # [ML,NW,16|22]
     H = H.at[idx_ln[:, :, :, None], idx_ln[:, :, None, :]].add(
         jnp.einsum("fjra,fjrb->fjab", J_ln, J_ln)
     )

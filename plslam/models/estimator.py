@@ -381,6 +381,7 @@ class Estimator:
             ln_obs=asdev(self.ln_table.obs, dtype),
             ln_mask=asdev(self.ln_table.mask.astype(np.float64), dtype),
             ln_valid=jnp.asarray(ln_used.astype(np.float64), dtype),
+            ln_start=asdev(self.ln_table.start),
         )
         if self.relo is not None:
             f = f._replace(
@@ -451,12 +452,22 @@ class Estimator:
     def _optimize(self):
         st = self._device_state()
         f = self._factors()
+        lp = self.cfg.line_param
+        if lp != "world":
+            # the estimator's canonical line store is world Plücker; anchored
+            # variants (`…_incamera`/`…_instartframe`) solve in the anchor
+            # chart and convert back with the UPDATED anchor poses — the line
+            # rides its first-observing frame exactly like the reference's
+            # factor variants
+            st = st._replace(line=res.lines_from_world(st, st.line, f.ln_start, lp))
         st_out, stats = solver_mod.optimize_window(
             st, f, self.lay, self.cfg,
             estimate_extrinsic=self.config.extrinsic.estimate_extrinsic > 0,
             estimate_td=self.config.temporal.estimate_td,
             num_iters=self.cfg.max_num_iterations,
         )
+        if lp != "world":
+            st_out = st_out._replace(line=res.lines_to_world(st_out, f.ln_start, lp))
         self._writeback(st_out)
         self._last_factors = f
         self._last_state = st_out

@@ -30,8 +30,23 @@ from plslam.utils.device import asdev
 from plslam.ops.cameras import PinholeRadTan, lift
 
 LK_WIN = 10  # half window → 21×21 like cv::calcOpticalFlowPyrLK default
-LK_LEVELS = 3
+# the reference passes maxLevel=3 to cv::calcOpticalFlowPyrLK — that is the
+# max pyramid INDEX, i.e. 4 levels; matching it doubles the capture range
+# (±4 px margin per level → ~±32 px full-res motion)
+LK_LEVELS = 4
 LK_ITERS = 10
+
+
+def auto_levels(shape, cap: int = LK_LEVELS) -> int:
+    """Pyramid depth for an image size — like cv::buildOpticalFlowPyramid,
+    which shrinks maxLevel until the tracking window fits the coarsest level.
+    Our batched window gather needs the search window (30 px) to fit with
+    room, so the coarsest level keeps min-dim ≥ 60 px."""
+    m = min(shape)
+    l = 1
+    while l < cap and (m >> l) >= 60:
+        l += 1
+    return l
 
 
 # ------------------------------------------------------------------ pyramid
@@ -142,13 +157,14 @@ def _patch_coords(dtype):
 
 
 @partial(jax.jit, static_argnames=("levels", "iters"))
-def lk_track(pyr_prev, pyr_cur, pts_prev, valid, levels: int = LK_LEVELS, iters: int = LK_ITERS):
+def lk_track(pyr_prev, pyr_cur, pts_prev, valid, levels: int | None = None, iters: int = LK_ITERS):
     """Pyramidal Lucas-Kanade: track pts_prev [N,2] (pixels, level 0) into the
     current frame. Returns (pts_cur [N,2], status [N]).
 
     Inverse-compositional per level: template gradient from the previous
     frame's patch, fixed `iters` Gauss-Newton updates, all features batched.
-    """
+    levels=None uses the full supplied pyramid."""
+    levels = len(pyr_prev) if levels is None else levels
     dtype = pts_prev.dtype
     xx, yy = _patch_coords(dtype)  # [P]
     n = pts_prev.shape[0]
@@ -214,7 +230,7 @@ HALF = LK_WIN
 
 
 @partial(jax.jit, static_argnames=("levels", "iters"))
-def lk_track_fast(pyr_prev, pyr_cur, pts_prev, valid, levels: int = LK_LEVELS, iters: int = LK_ITERS):
+def lk_track_fast(pyr_prev, pyr_cur, pts_prev, valid, levels: int | None = None, iters: int = LK_ITERS):
     """Fully-batched pyramidal LK — the speed-of-light formulation.
 
     One window gather per feature per level; every GN iteration is then pure
@@ -223,8 +239,10 @@ def lk_track_fast(pyr_prev, pyr_cur, pts_prev, valid, levels: int = LK_LEVELS, i
     the fraction), so the iteration loop is [N,21,28]·[N,28,28]·[N,28,21]
     einsums on the MXU — no gathers, no per-feature programs. Per-level
     motion is bounded by LK_MARGIN (the pyramid absorbs large motion, as in
-    cv::calcOpticalFlowPyrLK's window clamping).
+    cv::calcOpticalFlowPyrLK's window clamping). levels=None uses the full
+    supplied pyramid.
     """
+    levels = len(pyr_prev) if levels is None else levels
     dtype = pts_prev.dtype
     n = pts_prev.shape[0]
     S_T = WIN + 3  # template window (23×23 patch + 1 slack)
@@ -371,13 +389,16 @@ class FrontendPoints:
 
     def __init__(self, cam: PinholeRadTan, max_cnt=150, min_dist=30, f_thresh_px=1.0,
                  focal=460.0, dtype=jnp.float32, use_pallas: bool | None = None,
-                 min_score=1e-4):
+                 min_score=1e-4, fisheye: bool = False):
         self.cam = cam
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.dtype = dtype
         self.min_score = min_score  # detection quality gate (goodFeaturesToTrack qualityLevel)
+        # fisheye circular FOV mask (the reference loads fisheye_mask.jpg and
+        # drops features outside it — here the standard centered circle)
+        self.fisheye = fisheye
         # default tracker: the batched-matmul LK (fastest everywhere); the
         # per-feature Pallas kernel stays available for comparison
         self.use_pallas = False if use_pallas is None else use_pallas
@@ -393,11 +414,18 @@ class FrontendPoints:
         self.next_id = 0
         self._key = jax.random.PRNGKey(7)
 
+    def _in_fov(self, uv: np.ndarray, shape) -> np.ndarray:
+        """Circular fisheye mask check (pixel coords → bool)."""
+        h, w = shape
+        r = 0.5 * min(h, w) - 3.0
+        d2 = (uv[:, 0] - w / 2.0) ** 2 + (uv[:, 1] - h / 2.0) ** 2
+        return d2 <= r * r
+
     def process(self, img: np.ndarray, t: float):
         """One frame tick (`FeatureTracker::readImage`). Returns
         (ids, normalized pts, velocities, pixel uv) of tracked+new features."""
         img_j = jnp.asarray(img, self.dtype)
-        pyr = build_pyramid(img_j)
+        pyr = build_pyramid(img_j, levels=auto_levels(img.shape))
         if self.prev_pyr is not None and self.prev_valid.any():
             if self.use_pallas:
                 from plslam.ops.kernels.lk import lk_track_pallas
@@ -415,6 +443,8 @@ class FrontendPoints:
                 )
             uv = np.asarray(uv, np.float64)
             status = np.asarray(status)
+            if self.fisheye:
+                status = status & self._in_fov(uv, img.shape)
             # fundamental RANSAC on normalized coords
             norm = np.asarray(lift(self.cam, jnp.asarray(uv, self.dtype)), np.float64)
             if status.sum() >= 8:
@@ -446,6 +476,8 @@ class FrontendPoints:
             )
             uv_new = np.asarray(uv_new, np.float64)
             score = np.asarray(score)
+            if self.fisheye:
+                score = score * self._in_fov(uv_new, img.shape)
             free = np.nonzero(~self.prev_valid)[0]
             take = min(len(free), n_new)
             sel = np.nonzero(score > self.min_score)[0][:take]

@@ -99,7 +99,7 @@ def extract_keyframe_features(img_j, extra_uv=None):
     )
     valid = (score > 1e-5).astype(img_j.dtype)
     if extra_uv is not None and len(extra_uv):
-        n = min(len(extra_uv), MAX_KP // 4)
+        n = min(len(extra_uv), MAX_KP // 2)
         uv = jnp.concatenate([jnp.asarray(extra_uv[:n], img_j.dtype), uv[: MAX_KP - n]])
         valid = jnp.concatenate([jnp.ones((n,), img_j.dtype), valid[: MAX_KP - n]])
     desc, bits = brief_descriptors(img_j, uv, valid)
@@ -134,12 +134,17 @@ def _dlt_batch(X, x):
     return R, t
 
 
-def pnp_ransac(pts3d, pts2d_norm, iters=128, thresh=10.0 / 460.0, seed=0, min_inliers=12):
+def pnp_ransac(pts3d, pts2d_norm, iters=128, thresh=10.0 / 460.0, seed=0, min_inliers=12,
+               return_best=False):
     """`cv::solvePnPRansac` equivalent: all DLT-6pt hypotheses built, solved
     (batched SVD) and scored at once — no sequential hypothesis loop.
 
     pts3d [N,3] world, pts2d_norm [N,2] normalized obs in query cam.
-    Returns (R_cw, t_cw, inlier_mask) with x_c = R_cw x_w + t_cw, or None."""
+    `thresh` is in NORMALIZED units — pass pixel_tol / fx (the reference's
+    reprojectionError=10 px is camera-dependent).
+    Returns (R_cw, t_cw, inlier_mask) with x_c = R_cw x_w + t_cw, or None;
+    with return_best=True the best hypothesis is returned even below
+    `min_inliers` (caller gates and can log the count)."""
     n = len(pts3d)
     if n < 6:
         return None
@@ -160,9 +165,11 @@ def pnp_ransac(pts3d, pts2d_norm, iters=128, thresh=10.0 / 460.0, seed=0, min_in
     inl = score(R, t) & ok[:, None]  # [I,N]
     best_i = int(np.argmax(inl.sum(axis=1)))
     best = (R[best_i], t[best_i], inl[best_i])
-    if best[2].sum() < min_inliers:
+    if best[2].sum() < min_inliers and not return_best:
         return None
     R, t, inl = best
+    if inl.sum() < 6:
+        return (R, t, inl) if return_best else None
     for _ in range(2):  # refit on inliers (cv's iterative refinement)
         sel = np.nonzero(inl)[0][:48]
         try:
@@ -176,7 +183,7 @@ def pnp_ransac(pts3d, pts2d_norm, iters=128, thresh=10.0 / 460.0, seed=0, min_in
         if inl2.sum() < inl.sum():
             break
         R, t, inl = R2, t2, inl2
-    if inl.sum() < min_inliers:
+    if inl.sum() < min_inliers and not return_best:
         return None
     return R, t, inl
 

@@ -95,8 +95,10 @@ def _marg_factor_subset(f: res.WindowFactors) -> res.WindowFactors:
     )
 
 
-def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w):
-    return res.residual_stack(state, _marg_factor_subset(f), lay, focal, pt_w, ln_w)
+def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w,
+                         line_param="world"):
+    return res.residual_stack(state, _marg_factor_subset(f), lay, focal, pt_w, ln_w,
+                              line_param=line_param)
 
 
 def _eliminate_landmarks(H, b, lay: TangentLayout, eps):
@@ -129,12 +131,16 @@ def marginalize_old(
     """MARGIN_OLD: absorb frame 0 (pose+speedbias) and its landmarks into a
     new linear prior, already re-indexed for the subsequent window shift."""
     focal = cfg.focal_length
+    lp = cfg.line_param
     eps = cfg.eig_eps if state.p.dtype == jnp.float64 else max(cfg.eig_eps, 1e-5)
-    pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c)
+    if lp != "world":
+        # callers hold world-frame lines; marginalize in the configured chart
+        state = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
+    pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
     zero = jnp.zeros((lay.dim,), state.p.dtype)
 
     def r_fn(delta):
-        return _marg_residual_stack(retract(state, delta, lay), f, lay, focal, pt_w, ln_w)
+        return _marg_residual_stack(retract(state, delta, lay), f, lay, focal, pt_w, ln_w, lp)
 
     r0 = r_fn(zero)
     J = jax.jacfwd(r_fn)(zero)

@@ -108,17 +108,20 @@ def factors_from_synthetic(
         ln_obs = np.zeros((lay.max_l, nw, 4))
         ln_mask = np.zeros((lay.max_l, nw))
         ln_valid = np.zeros(lay.max_l)
+        ln_start = np.zeros(lay.max_l, np.int32)
         line_w = np.asarray(state.line).copy()
         lobs_np = np.asarray(seq.line_obs[np.asarray(frames)])
         for s, li in enumerate(lcand):
             ln_obs[s] = lobs_np[:, li]
             ln_mask[s] = lvis[:, li]
             ln_valid[s] = 1.0
+            ln_start[s] = int(np.nonzero(lvis[:, li])[0][0])
             line_w[s] = np.asarray(plucker_from_points(seq.line_sp[li], seq.line_ep[li]))
         f = f._replace(
             ln_obs=jnp.asarray(ln_obs, dtype),
             ln_mask=jnp.asarray(ln_mask, dtype),
             ln_valid=jnp.asarray(ln_valid, dtype),
+            ln_start=jnp.asarray(ln_start),
         )
         state = state._replace(line=jnp.asarray(line_w, dtype))
 

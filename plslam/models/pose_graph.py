@@ -325,6 +325,7 @@ class PoseGraph:
         self.last_match = None  # match_points payload for the estimator
         self.stats = []  # per-candidate diagnostics (findConnection outcome)
         self.base_n = 0  # keyframes [0, base_n) came from a loaded map
+        self.keep_images = False  # store per-KF images (match_image viz)
 
     # ------------------------------------------------------------- keyframes
     def add_keyframe(self, t, p_w, q_w, img=None, win_uv=None, win_pts3d=None, cam=None,
@@ -377,7 +378,8 @@ class PoseGraph:
                 win_desc = np.asarray(win_desc)
             entry = dict(uv=uv, valid=valid, desc=desc, cam=cam,
                          win_uv=win_uv, win_ids=win_ids, win_pts3d=win_pts3d,
-                         win_desc=win_desc, img_shape=img.shape)
+                         win_desc=win_desc, img_shape=img.shape,
+                         img=np.asarray(img, np.float32) if self.keep_images else None)
             old = self.db.query(gdesc, exclude_last=self.cfg.min_loop_gap,
                                 always_include=self.base_n)
             self.db.add(entry, gdesc)
@@ -422,11 +424,19 @@ class PoseGraph:
         pts3d = np.asarray(cur_entry["win_pts3d"])[good]
         uv_old = old["uv"][best[good]]
         norm_old = np.asarray(lift(cam, jnp.asarray(uv_old, jnp.float32)), np.float64)
-        out = kdb.pnp_ransac(pts3d, norm_old, min_inliers=self.cfg.min_pnp_inliers)
+        # reprojection gate = 10 px in THIS camera (cv::solvePnPRansac
+        # reprojectionError is pixel-space; normalize by the focal length)
+        fx = float(np.asarray(cam.fx)) if cam is not None else 460.0
+        out = kdb.pnp_ransac(pts3d, norm_old, thresh=10.0 / fx,
+                             min_inliers=self.cfg.min_pnp_inliers, return_best=True)
         if out is None:
             rec["outcome"] = "pnp_failed"
             return None
         R_cw, t_cw, inl = out
+        rec["inliers"] = int(np.sum(inl))
+        if int(np.sum(inl)) < self.cfg.min_pnp_inliers:
+            rec["outcome"] = "pnp_failed"
+            return None
         # OLD keyframe's camera pose in the CURRENT world frame
         R_wc = R_cw.T
         p_wc = -R_cw.T @ t_cw
@@ -441,7 +451,6 @@ class PoseGraph:
         yaw_old = float(np.asarray(rot_to_ypr(jnp.asarray(R_w_old)))[0])
         yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[j]))))[0])
         rel_yaw = yaw_j - yaw_old
-        rec["inliers"] = int(np.sum(inl))
         # gates (`findConnection`)
         if abs(((rel_yaw - (self.opt_yaw[j] - self.opt_yaw[i])) + np.pi) % (2 * np.pi) - np.pi) > np.deg2rad(self.cfg.max_loop_yaw_deg):
             rec["outcome"] = "yaw_gate"
@@ -461,6 +470,10 @@ class PoseGraph:
                 p_old=p_w_old,
                 q_old=np.asarray(rot_to_quat(jnp.asarray(R_w_old))),
                 old_idx=i, cur_idx=j,
+                # pixel coords + old image for the `match_image` debug dump
+                uv_cur=np.asarray(cur_entry["win_uv"])[sel] if cur_entry.get("win_uv") is not None else None,
+                uv_old=uv_old[inl],
+                old_img=old.get("img"),
             )
         return dict(i=i, j=j, t=rel_t, yaw=rel_yaw, w=2.0, loop=1)
 

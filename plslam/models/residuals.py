@@ -52,6 +52,8 @@ class WindowFactors(NamedTuple):
     ln_obs: jnp.ndarray  # [MAX_L,NW,4] normalized (sx,sy,ex,ey)
     ln_mask: jnp.ndarray  # [MAX_L,NW] float 0/1
     ln_valid: jnp.ndarray  # [MAX_L] float 0/1
+    ln_start: jnp.ndarray  # [MAX_L] int32 first observing frame (anchor for
+    # the `_incamera`/`_instartframe` line-factor variants)
     # --- relocalization (`setReloFrame` match points against an old keyframe) ---
     relo_obs: jnp.ndarray  # [MAX_F,2] normalized obs of window features in the old kf
     relo_mask: jnp.ndarray  # [MAX_F] float 0/1 matched
@@ -94,6 +96,7 @@ def empty_factors(cfg, lay: TangentLayout, dtype=jnp.float32) -> WindowFactors:
         ln_obs=jnp.zeros((ML, NW, 4), dtype),
         ln_mask=jnp.zeros((ML, NW), dtype),
         ln_valid=jnp.zeros((ML,), dtype),
+        ln_start=jnp.zeros((ML,), jnp.int32),
         relo_obs=jnp.zeros((MF, 2), dtype),
         relo_mask=jnp.zeros((MF,), dtype),
         relo_valid=jnp.zeros((), dtype),
@@ -188,18 +191,58 @@ def point_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.n
     return r * m[..., None] * (focal / 1.5)
 
 
-def line_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.ndarray:
+def lines_to_world(state: WindowState, ln_start: jnp.ndarray, line_param: str) -> jnp.ndarray:
+    """[ML,6] world Plücker lines under any of the reference's three line
+    parameterizations (`lineProjectionFactor` / `…_incamera` /
+    `…_instartframe`): `state.line` is interpreted as world-frame, anchor
+    -camera-frame, or anchor-body-frame Plücker respectively and transformed
+    into the world with the CURRENT anchor pose — so with anchored variants
+    the line moves rigidly with its first-observing frame and the factor
+    jacobians couple the anchor pose exactly like the reference's variants."""
+    if line_param == "world":
+        return state.line
+    q_a = state.q[ln_start]  # [ML,4] anchor body pose
+    p_a = state.p[ln_start]
+    if line_param == "incamera":
+        q_a = quat_mul(q_a, jnp.broadcast_to(state.q_bc, q_a.shape))
+        p_a = p_a + quat_rotate(state.q[ln_start], jnp.broadcast_to(state.p_bc, p_a.shape))
+    elif line_param != "instartframe":
+        raise ValueError(f"unknown line_param {line_param!r}")
+    return plucker_transform(state.line, quat_to_rot(q_a), p_a)
+
+
+def lines_from_world(state: WindowState, line_w: jnp.ndarray, ln_start: jnp.ndarray,
+                     line_param: str) -> jnp.ndarray:
+    """Inverse of `lines_to_world`: express world Plücker lines in the chart
+    the chosen parameterization stores (used when (re)packing solver state)."""
+    if line_param == "world":
+        return line_w
+    q_a = state.q[ln_start]
+    p_a = state.p[ln_start]
+    if line_param == "incamera":
+        q_a = quat_mul(q_a, jnp.broadcast_to(state.q_bc, q_a.shape))
+        p_a = p_a + quat_rotate(state.q[ln_start], jnp.broadcast_to(state.p_bc, p_a.shape))
+    elif line_param != "instartframe":
+        raise ValueError(f"unknown line_param {line_param!r}")
+    p_aw, q_aw = pose_inverse(p_a, q_a)
+    return plucker_transform(line_w, quat_to_rot(q_aw), p_aw)
+
+
+def line_residuals(state: WindowState, f: WindowFactors, focal: float,
+                   line_param: str = "world") -> jnp.ndarray:
     """[MAX_L,NW,2] whitened line residuals (`lineProjectionFactor::Evaluate`,
-    SURVEY.md §A.4): world Plücker → camera frame per window pose, endpoint
-    distances to the projected infinite line."""
+    SURVEY.md §A.4): Plücker (in the chart named by `line_param`) → world →
+    camera frame per window pose, endpoint distances to the projected
+    infinite line."""
     NW = state.p.shape[0]
     dtype = state.p.dtype
     p_wc, q_wc = cam_poses(state)  # [NW,3],[NW,4]
     p_cw, q_cw = pose_inverse(p_wc, q_wc)
     R_cw = quat_to_rot(q_cw)  # [NW,3,3]
+    L_w = lines_to_world(state, f.ln_start, line_param)
 
     def per_frame(j):
-        L_c = plucker_transform(state.line, R_cw[j], p_cw[j])  # [ML,6]
+        L_c = plucker_transform(L_w, R_cw[j], p_cw[j])  # [ML,6]
         return line_projection_residual(L_c, f.ln_obs[:, j, 0:2], f.ln_obs[:, j, 2:4])
 
     r = jax.vmap(per_frame, out_axes=1)(jnp.arange(NW))  # [ML,NW,2]
@@ -242,6 +285,7 @@ def residual_stack(
     pt_w: jnp.ndarray | None = None,
     ln_w: jnp.ndarray | None = None,
     relo_w: jnp.ndarray | None = None,
+    line_param: str = "world",
 ) -> jnp.ndarray:
     """Full whitened residual vector. `pt_w`/`ln_w`/`relo_w` are per
     -observation robust (IRLS √Cauchy) weights treated as constants during
@@ -250,7 +294,7 @@ def residual_stack(
     r_pt = point_residuals(state, f, focal)
     if pt_w is not None:
         r_pt = r_pt * pt_w[..., None]
-    r_ln = line_residuals(state, f, focal)
+    r_ln = line_residuals(state, f, focal, line_param)
     if ln_w is not None:
         r_ln = r_ln * ln_w[..., None]
     r_relo = relo_residuals(state, f, focal)
@@ -267,10 +311,11 @@ def cauchy_weights(r2, c: float):
     return 1.0 / jnp.sqrt(1.0 + r2 / (c * c))
 
 
-def robust_weights(state: WindowState, f: WindowFactors, focal: float, cauchy_c: float):
+def robust_weights(state: WindowState, f: WindowFactors, focal: float, cauchy_c: float,
+                   line_param: str = "world"):
     """Per-observation IRLS weights from the current (unweighted) residuals."""
     r_pt = point_residuals(state, f, focal)
-    r_ln = line_residuals(state, f, focal)
+    r_ln = line_residuals(state, f, focal, line_param)
     r_relo = relo_residuals(state, f, focal)
     pt_w = cauchy_weights(jnp.sum(r_pt * r_pt, axis=-1), cauchy_c)
     ln_w = cauchy_weights(jnp.sum(r_ln * r_ln, axis=-1), cauchy_c)

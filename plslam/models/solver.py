@@ -62,11 +62,12 @@ def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
     return m
 
 
-def linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w=None):
+def linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w=None, line_param="world"):
     zero = jnp.zeros((lay.dim,), state.p.dtype)
 
     def r_fn(delta):
-        return res.residual_stack(retract(state, delta * mask, lay), f, lay, focal, pt_w, ln_w, relo_w)
+        return res.residual_stack(retract(state, delta * mask, lay), f, lay, focal,
+                                  pt_w, ln_w, relo_w, line_param)
 
     r0 = r_fn(zero)
     J = jax.jacfwd(r_fn)(zero)
@@ -155,28 +156,29 @@ def optimize_window(
     from plslam.models import assembly
 
     focal = cfg.focal_length
+    lp = cfg.line_param
     mask = free_mask(f, lay, cfg, estimate_extrinsic, estimate_td, freeze_frames, extra_pinned)
     if pin_mask is not None:
         mask = mask * pin_mask  # dynamic pins (no recompilation per pin set)
 
-    pt_w0, ln_w0, relo_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c)
-    cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0, relo_w0))
+    pt_w0, ln_w0, relo_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
+    cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0, relo_w0, lp))
 
     def step(_, carry):
         state, lam, cost, naccept = carry
-        pt_w, ln_w, relo_w = res.robust_weights(state, f, focal, cfg.cauchy_c)
+        pt_w, ln_w, relo_w = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
         if structured:
-            H, b, cost_here = assembly.assemble(state, f, lay, focal, pt_w, ln_w, relo_w)
+            H, b, cost_here = assembly.assemble(state, f, lay, focal, pt_w, ln_w, relo_w, lp)
             H = H * mask[:, None] * mask[None, :]
             b = b * mask
         else:
-            r, J = linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w)
+            r, J = linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w, lp)
             H = J.T @ J
             b = J.T @ r
             cost_here = cost_of(r)
         delta = schur_solve(H, b, lay, lam, mask)
         state_try = retract(state, delta, lay)
-        cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w, relo_w))
+        cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w, relo_w, lp))
         accept = cost_try < cost_here
         state = jax.tree.map(lambda a, c: jnp.where(accept, a, c), state_try, state)
         lam = jnp.where(
@@ -191,15 +193,17 @@ def optimize_window(
     state_out, lam, cost, naccept = jax.lax.fori_loop(
         0, num_iters, step, (state, lam0, cost0, jnp.zeros((), jnp.int32))
     )
-    state_out = reanchor(state_out, state)
+    state_out = reanchor(state_out, state, line_param=lp)
     return state_out, SolveStats(cost0=cost0, cost=cost, lam=lam, accepted=naccept)
 
 
-def reanchor(state_new: WindowState, state_ref: WindowState) -> WindowState:
+def reanchor(state_new: WindowState, state_ref: WindowState,
+             line_param: str = "world") -> WindowState:
     """Gauge repair (`double2vector()`): rotate/translate the solution so
     frame-0 position and yaw match `state_ref` (the pre-solve state). World
-    landmarks (Plücker lines) transform along; inverse depths are
-    frame-anchored and invariant."""
+    landmarks (Plücker lines) transform along; inverse depths — and lines in
+    the anchored `_incamera`/`_instartframe` charts — are frame-anchored and
+    invariant."""
     ypr_ref = rot_to_ypr(quat_to_rot(state_ref.q[0]))
     ypr_new = rot_to_ypr(quat_to_rot(state_new.q[0]))
     dyaw = ypr_ref[0] - ypr_new[0]
@@ -211,7 +215,7 @@ def reanchor(state_new: WindowState, state_ref: WindowState) -> WindowState:
     p = (state_new.p @ Rz.T) + t
     q = quat_mul(jnp.broadcast_to(q_z, state_new.q.shape), state_new.q)
     v = state_new.v @ Rz.T
-    line = plucker_transform(state_new.line, Rz, t)
+    line = plucker_transform(state_new.line, Rz, t) if line_param == "world" else state_new.line
     relo_p = Rz @ state_new.relo_p + t
     relo_q = quat_mul(q_z, state_new.relo_q)
     return state_new._replace(p=p, q=q, v=v, line=line, relo_p=relo_p, relo_q=relo_q)

@@ -147,9 +147,11 @@ def lk_level_pallas(prev_img, cur_img, pts, guess, iters: int = 10, interpret: b
     return out, err[:, 0]
 
 
-def lk_track_pallas(pyr_prev, pyr_cur, pts_prev, valid, levels: int = 3, iters: int = 10,
+def lk_track_pallas(pyr_prev, pyr_cur, pts_prev, valid, levels: int | None = None, iters: int = 10,
                     err_thresh: float = 0.12, interpret: bool = False):
-    """Full pyramidal tracker (drop-in for `frontend_points.lk_track`)."""
+    """Full pyramidal tracker (drop-in for `frontend_points.lk_track`);
+    levels=None uses the full supplied pyramid."""
+    levels = len(pyr_prev) if levels is None else levels
     dtype = pts_prev.dtype
     n = pts_prev.shape[0]
     guess = pts_prev

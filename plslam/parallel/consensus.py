@@ -83,6 +83,7 @@ def consensus_solve(
     rounds: int = 3,
     num_iters: int = 8,
     mesh=None,
+    solve_fn=None,
 ):
     """Solve P partitioned windows to a consistent trajectory.
 
@@ -91,6 +92,11 @@ def consensus_solve(
     SPMD — each device solves its partitions, XLA inserts no collectives
     inside the solve (partitions are independent; only the tiny host-side
     boundary consensus crosses partitions).
+
+    `solve_fn(part_states, part_factors) -> part_states` replaces the default
+    batched single-device solve — `parallel.mesh2d` plugs in the
+    landmark-sharded distributed solve here to run BOTH scaling axes on one
+    ('kf_part', 'lmk') mesh.
 
     Returns the stacked partition states after consensus; use
     `stitch_trajectory` to extract the global keyframe poses."""
@@ -104,7 +110,7 @@ def consensus_solve(
         part_states = put(part_states)
         part_factors = put(part_factors)
 
-    solve_all = jax.vmap(
+    solve_all = solve_fn if solve_fn is not None else jax.vmap(
         lambda s, f: solver_mod.optimize_window(s, f, lay, cfg, num_iters=num_iters)[0]
     )
 

@@ -67,6 +67,7 @@ def _visual_residual(state, pt, ln, focal):
         pt_mask=pt_mask, pt_start=pt_start,
         pt_valid=pt_valid,
         ln_obs=ln_obs, ln_mask=ln_mask, ln_valid=ln_valid,
+        ln_start=jnp.zeros(ln_valid.shape, jnp.int32),  # world-param lines only
         relo_obs=None, relo_mask=None, relo_valid=None,
         prior_J=None, prior_r0=None, prior_valid=None,
         prior_p=None, prior_q=None, prior_v=None, prior_ba=None, prior_bg=None,
@@ -98,6 +99,118 @@ def _retract_local(state: WindowState, dc, dd, dl) -> WindowState:
         inv_depth=state.inv_depth + dd,
         line=orth_retract(state.line, dl),
     )
+
+
+def make_lm_iter(axis, lay, cfg, focal, mf_s, ml_s, dtype, pt, ln, cam_residual):
+    """One landmark-sharded LM iteration as a `lax.scan` body, parameterised
+    by the mesh axis that shards landmarks. Shared by the 1-D 'lmk' solve
+    below and the 2-D ('kf_part','lmk') mesh of `parallel.mesh2d`.
+
+    carry = (state_cam, inv_depth_local, line_local, lam, cost); psum over
+    `axis` reduces the DC×DC camera system — the only collective."""
+    DC = lay.dim_cam
+    pt_valid = pt[4]
+    ln_valid = ln[2]
+    is0 = (jax.lax.axis_index(axis) == 0).astype(dtype)
+    dim_local = DC + mf_s + ml_s * 4
+    # frozen camera dims (extrinsic + td, as the single-device free_mask)
+    nw = lay.nw
+    cam_free = jnp.ones((DC,), dtype).at[nw * 15 :].set(0.0)
+
+    def lm_iter(carry, _):
+        st_cam, inv_d, line, lam, _ = carry
+        st = st_cam._replace(inv_depth=inv_d, line=line)
+
+        r_pt0, r_ln0 = _visual_residual(st, pt, ln, focal)
+        pt_w = res.cauchy_weights(jnp.sum(r_pt0 * r_pt0, -1), cfg.cauchy_c)
+        ln_w = res.cauchy_weights(jnp.sum(r_ln0 * r_ln0, -1), cfg.cauchy_c)
+
+        def r_local(delta):
+            dc = delta[:DC]
+            dd = delta[DC : DC + mf_s]
+            dl = delta[DC + mf_s :].reshape(ml_s, 4)
+            st_d = _retract_local(st, dc, dd, dl)
+            r_pt, r_ln = _visual_residual(st_d, pt, ln, focal)
+            r_cam = cam_residual(st_d) * is0
+            return jnp.concatenate([
+                r_cam,
+                (r_pt * pt_w[..., None]).reshape(-1),
+                (r_ln * ln_w[..., None]).reshape(-1),
+            ])
+
+        zero = jnp.zeros((dim_local,), dtype)
+        r0 = r_local(zero)
+        J = jax.jacfwd(r_local)(zero)
+        H = J.T @ J
+        b = J.T @ r0
+        cost = jax.lax.psum(0.5 * jnp.sum(r0 * r0), axis)
+
+        # Jacobi scaling; camera diag is global
+        dH_cam = jax.lax.psum(jnp.diag(H)[:DC], axis)
+        dH_lmk = jnp.diag(H)[DC:]
+        lmk_mask = jnp.concatenate([pt_valid, jnp.repeat(ln_valid, 4)])
+        sc_cam = cam_free / jnp.sqrt(jnp.maximum(dH_cam, 1e-8))
+        sc_lmk = lmk_mask / jnp.sqrt(jnp.maximum(dH_lmk, 1e-8))
+        sc = jnp.concatenate([sc_cam, sc_lmk])
+        Hs = H * sc[:, None] * sc[None, :]
+        bs = b * sc
+        damp = lam + 1e-8
+
+        Bd = Hs[:DC, DC : DC + mf_s]
+        Bl = Hs[:DC, DC + mf_s :].reshape(DC, ml_s, 4)
+        b_d = bs[DC : DC + mf_s]
+        b_l = bs[DC + mf_s :].reshape(ml_s, 4)
+        d = jnp.diag(Hs)[DC : DC + mf_s] + damp * pt_valid + (1.0 - pt_valid)
+        idx = jnp.arange(ml_s)
+        Cb = Hs[DC + mf_s :, DC + mf_s :].reshape(ml_s, 4, ml_s, 4)[idx, :, idx, :]
+        Cb = Cb + jax.vmap(jnp.diag)(
+            (damp * ln_valid + (1.0 - ln_valid))[:, None] * jnp.ones((ml_s, 4), dtype)
+        )
+        Cb_inv = jnp.linalg.inv(Cb)
+
+        BCd = Bd / d[None, :]
+        BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
+        S_local = Hs[:DC, :DC] - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
+        rhs_local = -bs[:DC] + BCd @ b_d + jnp.einsum("dmb,mb->d", BCl, b_l)
+
+        # ---- the collective: reduce the camera system over the mesh ----
+        S = jax.lax.psum(S_local, axis) + jnp.diag(damp * cam_free + (1.0 - cam_free))
+        rhs = jax.lax.psum(rhs_local, axis) * cam_free
+
+        cf = jax.scipy.linalg.cho_factor(S)
+        dc_s = jax.scipy.linalg.cho_solve(cf, rhs)
+        dd_s = (-b_d - Bd.T @ dc_s) / d
+        dl_s = jnp.einsum("mab,mb->ma", Cb_inv, -b_l - jnp.einsum("dma,d->ma", Bl, dc_s))
+
+        dc = dc_s * sc_cam
+        dd = dd_s * sc_lmk[:mf_s]
+        dl = (dl_s.reshape(-1) * sc_lmk[mf_s:]).reshape(ml_s, 4)
+
+        st_try = _retract_local(st, dc, dd, dl)
+        r_pt1, r_ln1 = _visual_residual(st_try, pt, ln, focal)
+        cost_try = jax.lax.psum(
+            0.5 * (jnp.sum((r_pt1 * pt_w[..., None]) ** 2)
+                   + jnp.sum((r_ln1 * ln_w[..., None]) ** 2)
+                   + jnp.sum((cam_residual(st_try) * is0) ** 2)),
+            axis,
+        )
+
+        # a failed inner solve (Cholesky on a near-indefinite f32 system at
+        # low damping) yields NaN deltas → NaN cost_try: treat as a
+        # rejected step (lam grows, next iteration retries) and keep the
+        # cost finite instead of letting min(NaN, ·) poison the report
+        good = jnp.isfinite(cost_try)
+        accept = good & (cost_try < cost)
+        pick = lambda a, c: jnp.where(accept, a, c)
+        st_cam_new = jax.tree.map(pick, _strip(st_try), _strip(st))
+        inv_new = pick(st_try.inv_depth, inv_d)
+        line_new = pick(st_try.line, line)
+        lam_new = jnp.where(accept, jnp.maximum(lam * 0.4, cfg.lm_lambda_min),
+                            jnp.minimum(lam * 5.0, cfg.lm_lambda_max))
+        cost_out = jnp.where(good, jnp.minimum(cost_try, cost), cost)
+        return (st_cam_new, inv_new, line_new, lam_new, cost_out), None
+
+    return lm_iter
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg", "mesh", "num_iters"))
@@ -147,107 +260,8 @@ def distributed_optimize_window(
     def solve(state_repl, pt_sh, ln_sh, inv_d_l, line_l):
         pt = tuple(a[0] for a in pt_sh)
         ln = tuple(a[0] for a in ln_sh)
-        pt_valid = pt[4]
-        ln_valid = ln[2]
-        is0 = (jax.lax.axis_index("lmk") == 0).astype(dtype)
-        dim_local = DC + mf_s + ml_s * 4
-        # frozen camera dims (extrinsic + td, as the single-device free_mask)
-        nw = lay.nw
-        cam_free = jnp.ones((DC,), dtype).at[nw * 15 :].set(0.0)
-
-        def lm_iter(carry, _):
-            st_cam, inv_d, line, lam, _ = carry
-            st = st_cam._replace(inv_depth=inv_d, line=line)
-
-            r_pt0, r_ln0 = _visual_residual(st, pt, ln, focal)
-            pt_w = res.cauchy_weights(jnp.sum(r_pt0 * r_pt0, -1), cfg.cauchy_c)
-            ln_w = res.cauchy_weights(jnp.sum(r_ln0 * r_ln0, -1), cfg.cauchy_c)
-
-            def r_local(delta):
-                dc = delta[:DC]
-                dd = delta[DC : DC + mf_s]
-                dl = delta[DC + mf_s :].reshape(ml_s, 4)
-                st_d = _retract_local(st, dc, dd, dl)
-                r_pt, r_ln = _visual_residual(st_d, pt, ln, focal)
-                r_cam = cam_residual(st_d) * is0
-                return jnp.concatenate([
-                    r_cam,
-                    (r_pt * pt_w[..., None]).reshape(-1),
-                    (r_ln * ln_w[..., None]).reshape(-1),
-                ])
-
-            zero = jnp.zeros((dim_local,), dtype)
-            r0 = r_local(zero)
-            J = jax.jacfwd(r_local)(zero)
-            H = J.T @ J
-            b = J.T @ r0
-            cost = jax.lax.psum(0.5 * jnp.sum(r0 * r0), "lmk")
-
-            # Jacobi scaling; camera diag is global
-            dH_cam = jax.lax.psum(jnp.diag(H)[:DC], "lmk")
-            dH_lmk = jnp.diag(H)[DC:]
-            lmk_mask = jnp.concatenate([pt_valid, jnp.repeat(ln_valid, 4)])
-            sc_cam = cam_free / jnp.sqrt(jnp.maximum(dH_cam, 1e-8))
-            sc_lmk = lmk_mask / jnp.sqrt(jnp.maximum(dH_lmk, 1e-8))
-            sc = jnp.concatenate([sc_cam, sc_lmk])
-            Hs = H * sc[:, None] * sc[None, :]
-            bs = b * sc
-            damp = lam + 1e-8
-
-            Bd = Hs[:DC, DC : DC + mf_s]
-            Bl = Hs[:DC, DC + mf_s :].reshape(DC, ml_s, 4)
-            b_d = bs[DC : DC + mf_s]
-            b_l = bs[DC + mf_s :].reshape(ml_s, 4)
-            d = jnp.diag(Hs)[DC : DC + mf_s] + damp * pt_valid + (1.0 - pt_valid)
-            idx = jnp.arange(ml_s)
-            Cb = Hs[DC + mf_s :, DC + mf_s :].reshape(ml_s, 4, ml_s, 4)[idx, :, idx, :]
-            Cb = Cb + jax.vmap(jnp.diag)(
-                (damp * ln_valid + (1.0 - ln_valid))[:, None] * jnp.ones((ml_s, 4), dtype)
-            )
-            Cb_inv = jnp.linalg.inv(Cb)
-
-            BCd = Bd / d[None, :]
-            BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
-            S_local = Hs[:DC, :DC] - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
-            rhs_local = -bs[:DC] + BCd @ b_d + jnp.einsum("dmb,mb->d", BCl, b_l)
-
-            # ---- the collective: reduce the camera system over the mesh ----
-            S = jax.lax.psum(S_local, "lmk") + jnp.diag(damp * cam_free + (1.0 - cam_free))
-            rhs = jax.lax.psum(rhs_local, "lmk") * cam_free
-
-            cf = jax.scipy.linalg.cho_factor(S)
-            dc_s = jax.scipy.linalg.cho_solve(cf, rhs)
-            dd_s = (-b_d - Bd.T @ dc_s) / d
-            dl_s = jnp.einsum("mab,mb->ma", Cb_inv, -b_l - jnp.einsum("dma,d->ma", Bl, dc_s))
-
-            dc = dc_s * sc_cam
-            dd = dd_s * sc_lmk[:mf_s]
-            dl = (dl_s.reshape(-1) * sc_lmk[mf_s:]).reshape(ml_s, 4)
-
-            st_try = _retract_local(st, dc, dd, dl)
-            r_pt1, r_ln1 = _visual_residual(st_try, pt, ln, focal)
-            cost_try = jax.lax.psum(
-                0.5 * (jnp.sum((r_pt1 * pt_w[..., None]) ** 2)
-                       + jnp.sum((r_ln1 * ln_w[..., None]) ** 2)
-                       + jnp.sum((cam_residual(st_try) * is0) ** 2)),
-                "lmk",
-            )
-
-            # a failed inner solve (Cholesky on a near-indefinite f32 system at
-            # low damping) yields NaN deltas → NaN cost_try: treat as a
-            # rejected step (lam grows, next iteration retries) and keep the
-            # cost finite instead of letting min(NaN, ·) poison the report
-            good = jnp.isfinite(cost_try)
-            accept = good & (cost_try < cost)
-            pick = lambda a, c: jnp.where(accept, a, c)
-            st_cam_new = jax.tree.map(pick, _strip(st_try), _strip(st))
-            inv_new = pick(st_try.inv_depth, inv_d)
-            line_new = pick(st_try.line, line)
-            lam_new = jnp.where(accept, jnp.maximum(lam * 0.4, cfg.lm_lambda_min),
-                                jnp.minimum(lam * 5.0, cfg.lm_lambda_max))
-            cost_out = jnp.where(good, jnp.minimum(cost_try, cost), cost)
-            return (st_cam_new, inv_new, line_new, lam_new, cost_out), None
-
+        lm_iter = make_lm_iter("lmk", lay, cfg, focal, mf_s, ml_s, dtype,
+                               pt, ln, cam_residual)
         lam0 = jnp.asarray(cfg.lm_lambda_init, dtype)
         init = (state_repl, inv_d_l[0], line_l[0], lam0, jnp.zeros((), dtype))
         (st_cam, inv_out, line_out, _, cost), _ = jax.lax.scan(lm_iter, init, None, length=num_iters)

@@ -22,9 +22,17 @@ def run_euroc(
     loop_closure: bool | None = None,
     max_frames: int | None = None,
     progress: bool = False,
+    pipeline: bool = True,
 ):
     """Full pipeline on an EuRoC ASL sequence: image frontends → estimator →
     pose graph (the whole reference launch graph in one loop — SURVEY.md §1).
+
+    `pipeline=True` software-pipelines the host IO stage: frame k+1's PNG
+    decode + CLAHE run on a worker thread (the native decoder releases the
+    GIL) while frame k's frontends + backend solve run — the PP row of
+    SURVEY.md §2.6, replacing the reference's feature_tracker/estimator
+    process overlap. Outputs are bit-identical to the synchronous loop (the
+    pipeline only moves WHEN images are decoded, never what is computed).
 
     Returns (ts, ps, qs, estimator, pose_graph)."""
     import jax.numpy as jnp
@@ -52,6 +60,13 @@ def run_euroc(
     pgraph = PoseGraph(config.loop, focal=config.solver.focal_length,
                        R_bc=np.asarray(config.extrinsic.rot).reshape(3, 3),
                        p_bc=np.asarray(config.extrinsic.trans)) if loop_closure else None
+    viz = None
+    if config.tracker.show_track:
+        from plslam.eval.viz import TrackVisualizer
+
+        viz = TrackVisualizer(config.output_path, every=4)
+        if pgraph is not None:
+            pgraph.keep_images = True  # enables the loop match_image dump
     if pgraph is not None and config.loop.load_previous_pose_graph:
         import os
 
@@ -61,28 +76,53 @@ def run_euroc(
         if os.path.exists(pg_file):
             pgraph.load(pg_file)
 
-    stride = max(1, round(20 / config.tracker.freq))  # FREQ control on 20 Hz camera
-    frame_idx = range(0, len(seq.cam_t), stride)
-    if max_frames is not None:
-        frame_idx = list(frame_idx)[:max_frames]
+    # FREQ control: like the reference's feature_tracker_node, the frontends
+    # track EVERY camera frame (20 Hz — consecutive-frame LK keeps per-tick
+    # optical flow inside the tracker's capture range) but only PUBLISH to the
+    # estimator every `stride`th frame (`FREQ`≈10 Hz, SURVEY.md §2.1/§3.1)
+    stride = max(1, round(20 / config.tracker.freq))
+    n_pub = 0
+    max_pub = max_frames if max_frames is not None else len(seq.cam_t)
+
+    def _load(k):
+        img = seq.image(k)
+        return _clahe(img) if config.tracker.equalize else img
+
+    executor = None
+    pending = None
+    if pipeline:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+        pending = executor.submit(_load, 0)
 
     ts_out, ps_out, qs_out = [], [], []
     imu_i = 0
     prev_imu_t = None
-    for k in frame_idx:
+    for k in range(len(seq.cam_t)):
+        if n_pub >= max_pub:
+            break
         t = seq.cam_t[k]
+        if executor is not None:
+            img = pending.result()
+            if k + 1 < len(seq.cam_t):
+                pending = executor.submit(_load, k + 1)
+        else:
+            img = _load(k)
+        ids, pts, vel, uv = fp.process(img, t)
+        ln_ids = ln_segs = None
+        if fLines is not None:
+            ln_ids, ln_segs = fLines.process(img, t)
+        if viz is not None:
+            viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])
+        if k % stride != 0:
+            continue  # tracked, not published
+        n_pub += 1
         while imu_i < len(seq.imu_t) and seq.imu_t[imu_i] <= t + 1e-9:
             dt = (seq.imu_t[imu_i] - prev_imu_t) if prev_imu_t is not None else 0.005
             est.process_imu(dt, seq.imu_acc[imu_i], seq.imu_gyr[imu_i])
             prev_imu_t = seq.imu_t[imu_i]
             imu_i += 1
-        img = seq.image(k)
-        if config.tracker.equalize:
-            img = _clahe(img)
-        ids, pts, vel, uv = fp.process(img, t)
-        ln_ids = ln_segs = None
-        if fLines is not None:
-            ln_ids, ln_segs = fLines.process(img, t)
         m = est.process_frame(float(t), ids, pts, vel, ln_ids, ln_segs)
         if est.initialized:
             tt, p, q = est.latest_pose()
@@ -100,6 +140,9 @@ def run_euroc(
                     # `setReloFrame`): next solve refines the loop jointly
                     mm = pgraph.last_match
                     est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"])
+                    if viz is not None and mm.get("old_img") is not None and mm.get("uv_cur") is not None:
+                        viz.match_image(img, mm["uv_cur"], mm["old_img"], mm["uv_old"],
+                                        tag=f"{mm['old_idx']}_{mm['cur_idx']}")
                 if (loop is not None and config.loop.fast_relocalization
                         and loop["i"] < pgraph.base_n):
                     # loop edge lands in the LOADED map: snap the drift from
@@ -113,6 +156,8 @@ def run_euroc(
             qs_out.append(q)
         if progress and k % 100 == 0:
             print(f"[{k}] t={t:.2f} init={est.initialized} pts={m.get('n_pts')} lines={m.get('n_lines')}")
+    if executor is not None:
+        executor.shutdown(wait=False, cancel_futures=True)
     if pgraph is not None and config.loop.save_pose_graph:
         import os
 

@@ -26,8 +26,8 @@ def test_lk_pallas_tracks_known_shift():
     img1 = smooth_texture(rng)
     dx, dy = 3.7, -2.3
     img2 = shift_image(img1, dx, dy)
-    pyr1 = fp.build_pyramid(jnp.asarray(img1))
-    pyr2 = fp.build_pyramid(jnp.asarray(img2))
+    pyr1 = fp.build_pyramid(jnp.asarray(img1), levels=fp.auto_levels(img1.shape))
+    pyr2 = fp.build_pyramid(jnp.asarray(img2), levels=fp.auto_levels(img2.shape))
     uv, score = fp.shi_tomasi_grid(
         jnp.asarray(img1), jnp.zeros((1, 2), jnp.float32), jnp.zeros((1,), jnp.float32),
         cell=24, max_out=40,
@@ -59,8 +59,8 @@ def test_lk_fast_matches_reference():
     img1 = smooth_texture(rng)
     dx, dy = 2.6, 3.1
     img2 = shift_image(img1, dx, dy)
-    pyr1 = fp.build_pyramid(jnp.asarray(img1))
-    pyr2 = fp.build_pyramid(jnp.asarray(img2))
+    pyr1 = fp.build_pyramid(jnp.asarray(img1), levels=fp.auto_levels(img1.shape))
+    pyr2 = fp.build_pyramid(jnp.asarray(img2), levels=fp.auto_levels(img2.shape))
     uv, score = fp.shi_tomasi_grid(
         jnp.asarray(img1), jnp.zeros((1, 2), jnp.float32), jnp.zeros((1,), jnp.float32),
         cell=24, max_out=40,

@@ -1,0 +1,124 @@
+"""Line projection factor parameterization variants.
+
+The reference ships three line factors (SURVEY.md §2.3):
+`lineProjectionFactor` (world-frame Plücker), `lineProjectionFactor_incamera`
+(line anchored in its first-observing camera frame) and
+`lineProjectionFactor_instartframe` (anchored in the first-observing body
+frame). All three measure the same geometry — the residuals must agree when
+the stored chart is converted consistently — but couple different parameter
+blocks (the anchored variants drag the anchor pose into the jacobian).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plslam.config import SolverConfig
+from plslam.io import synthetic
+from plslam.models import residuals as res
+from plslam.models import solver as solver_mod
+from plslam.models.packing import factors_from_synthetic, gt_window_state
+from plslam.models.state import layout, retract
+
+VARIANTS = ["incamera", "instartframe"]
+
+
+@pytest.fixture(scope="module")
+def window():
+    cfg = SolverConfig(max_features=48, max_line_feats=16, dtype="float64")
+    lay = layout(cfg)
+    seq = synthetic.make_sequence(duration=8.0, n_points=80, n_lines=40, seed=3)
+    frames = list(range(0, 22, 2))
+    state, f = factors_from_synthetic(seq, frames, cfg, lay, with_lines=True)
+    # stagger anchors so the variants actually exercise nonzero starts
+    assert int(np.asarray(f.ln_start).max()) >= 0
+    return cfg, lay, state, f
+
+
+@pytest.mark.parametrize("lp", VARIANTS)
+def test_residual_equivalence(window, lp):
+    """Same geometric line, chart converted consistently → identical residuals."""
+    cfg, lay, state, f = window
+    r_world = res.line_residuals(state, f, cfg.focal_length, "world")
+    L_chart = res.lines_from_world(state, state.line, f.ln_start, lp)
+    st_v = state._replace(line=L_chart)
+    r_var = res.line_residuals(st_v, f, cfg.focal_length, lp)
+    np.testing.assert_allclose(np.asarray(r_var), np.asarray(r_world), atol=1e-10)
+    # and the chart round-trips
+    back = res.lines_to_world(st_v, f.ln_start, lp)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(state.line), atol=1e-9)
+
+
+@pytest.mark.parametrize("lp", VARIANTS)
+def test_fd_jacobian(window, lp):
+    """jacfwd through the anchored variants matches finite differences —
+    including the anchor-pose coupling the world variant doesn't have."""
+    cfg, lay, state, f = window
+    st_v = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
+
+    def r_fn(delta):
+        return res.line_residuals(retract(st_v, delta, lay), f, cfg.focal_length, lp).reshape(-1)
+
+    zero = jnp.zeros((lay.dim,), jnp.float64)
+    J = jax.jacfwd(r_fn)(zero)
+    # anchored variants MUST couple anchor poses: a line anchored at frame a>0
+    # observed at j≠a has nonzero jacobian wrt pose a
+    starts = np.asarray(f.ln_start)
+    valid = np.asarray(f.ln_valid) > 0
+    a = int(starts[valid].max())
+    if a > 0:
+        blk = np.asarray(J)[:, lay.off_pose + 6 * a : lay.off_pose + 6 * (a + 1)]
+        assert np.abs(blk).max() > 1e-6
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        d = rng.standard_normal(lay.dim) * 1e-6
+        # central difference cancels the chart's second-order term (the
+        # anchored variants compose two retractions, so the quadratic term is
+        # larger than the world chart's)
+        fd = (np.asarray(r_fn(jnp.asarray(d))) - np.asarray(r_fn(jnp.asarray(-d)))) * 0.5
+        lin = np.asarray(J) @ d
+        np.testing.assert_allclose(lin, fd, atol=5e-9)
+
+
+@pytest.mark.parametrize("lp", ["world"] + VARIANTS)
+def test_solver_recovers_gt(window, lp):
+    """The window solve converges to ground truth under every line chart."""
+    cfg, lay, state, f = window
+    cfg_v = dataclasses.replace(cfg, line_param=lp)
+    st0 = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
+    rng = np.random.default_rng(7)
+    # physical-scale perturbation (CLAUDE.md numerics rules); frame 0 is the
+    # frozen gauge anchor so it stays at ground truth
+    d = np.zeros(lay.dim)
+    d[lay.off_pose : lay.off_sb] = rng.standard_normal(lay.nw * 6) * 0.01
+    d[lay.off_pose : lay.off_pose + 6] = 0.0
+    d[lay.off_line :] = rng.standard_normal(lay.max_l * 4) * 0.01
+    st_pert = retract(st0, jnp.asarray(d), lay)
+    st_out, stats = solver_mod.optimize_window(
+        st_pert, f, lay, cfg_v, num_iters=10, freeze_frames=(0,),
+    )
+    err_p = np.abs(np.asarray(st_out.p) - np.asarray(state.p)).max()
+    assert float(stats.cost) < float(stats.cost0)
+    assert err_p < 5e-3, (lp, err_p, float(stats.cost0), float(stats.cost))
+
+
+@pytest.mark.parametrize("lp", VARIANTS)
+def test_assembly_matches_dense(window, lp):
+    """Structured per-factor assembly == dense jacfwd normal equations for the
+    anchored variants (same check the world path is pinned by)."""
+    from plslam.models import assembly
+
+    cfg, lay, state, f = window
+    st_v = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
+    pt_w, ln_w, relo_w = res.robust_weights(st_v, f, cfg.focal_length, cfg.cauchy_c, lp)
+    mask = jnp.ones((lay.dim,), jnp.float64)
+    r, J = solver_mod.linearize(st_v, f, lay, cfg.focal_length, pt_w, ln_w, mask,
+                                relo_w, lp)
+    H_dense = np.asarray(J.T @ J)
+    b_dense = np.asarray(J.T @ r)
+    H_s, b_s, _ = assembly.assemble(st_v, f, lay, cfg.focal_length, pt_w, ln_w, relo_w, lp)
+    # same jacobians, different summation order → scale-relative tolerance
+    np.testing.assert_allclose(np.asarray(H_s), H_dense, atol=1e-9 * np.abs(H_dense).max())
+    np.testing.assert_allclose(np.asarray(b_s), b_dense, atol=1e-9 * (np.abs(b_dense).max() + 1e-12))

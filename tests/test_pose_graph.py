@@ -116,3 +116,132 @@ def test_pnp_ransac_with_outliers():
     assert np.abs(R - R_gt).max() < 1e-2
     assert np.linalg.norm(t - t_gt) < 0.02
     assert inl[bad].sum() <= 2
+
+
+@pytest.mark.slow
+def test_relocalize_against_saved_map(tmp_path):
+    """Session A maps a scene from rendered imagery and saves the pose graph;
+    session B (whose world frame is drifted/rotated) loads it, revisits the
+    place, confirms an appearance loop INTO THE LOADED MAP (BRIEF + PnP — no
+    GT edge injection) and `fast_relocalization` snaps its drift so corrected
+    poses land in the map frame (`load_previous_pose_graph` +
+    `fast_relocalization`, SURVEY.md §5.4)."""
+    import jax.numpy as jnp
+
+    from plslam.io import render, synthetic
+    from plslam.ops.cameras import PinholeRadTan, normalized_to_pixel
+    from plslam.runner import _clahe
+    from plslam.utils.geometry import quat_mul, quat_to_rot
+
+    H, W = 240, 376
+    params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8)
+    seq = synthetic.make_sequence(duration=14.0, n_points=500, n_lines=0, seed=23,
+                                  params=params)
+    cam = PinholeRadTan.create(160.0, 160.0, W / 2, H / 2)
+    lms = np.asarray(seq.landmarks)
+
+    def kf_inputs(k):
+        """Rendered image + GT window points (uv px, ids, world 3D) + body pose."""
+        img = _clahe(render.render_frame(seq, k, cam, H, W, blob_sigma=3.0,
+                                         style="textured"))
+        vis = np.nonzero(np.asarray(seq.obs_valid[k]))[0]
+        uv = np.asarray(normalized_to_pixel(cam, jnp.asarray(seq.obs[k])[vis]), np.float64)
+        inb = (uv[:, 0] > 18) & (uv[:, 0] < W - 18) & (uv[:, 1] > 18) & (uv[:, 1] < H - 18)
+        return img, uv[inb], vis[inb], lms[vis[inb]]
+
+    cfg = LoopConfig(loop_closure=True, min_loop_gap=40, max_keyframes=128,
+                     fast_relocalization=True)
+
+    # ---- session A: map frames around the start of the circle, save ----
+    R_bc = np.asarray(quat_to_rot(seq.q_bc))
+    p_bc = np.asarray(seq.p_bc)
+    gA = pg.PoseGraph(cfg, focal=160.0, R_bc=R_bc, p_bc=p_bc)
+    for k in range(0, 36, 6):
+        img, uv, ids, pts3d = kf_inputs(k)
+        gA.add_keyframe(float(np.asarray(seq.frame_t[k])), np.asarray(seq.gt_p[k]),
+                        np.asarray(seq.gt_q[k]), img=img, cam=cam,
+                        win_uv=uv, win_pts3d=pts3d, win_ids=ids)
+    path = str(tmp_path / "map.npz")
+    gA.save(path)
+
+    # ---- session B: drifted world frame, revisit after one circle period ----
+    dyaw = np.deg2rad(4.0)
+    Rz = np.asarray(ypr_to_rot(jnp.asarray([dyaw, 0.0, 0.0])))
+    q_z = np.asarray(rot_to_quat(jnp.asarray(Rz)))
+    t_d = np.array([0.35, -0.2, 0.1])
+    gB = pg.PoseGraph(cfg, focal=160.0, R_bc=R_bc, p_bc=p_bc)
+    gB.load(path)
+    assert gB.base_n == gA.n
+
+    j = 10 + int(2 * np.pi / 0.5 * 20)  # one period later ≈ revisit of frame 10
+    img, uv, ids, pts3d = kf_inputs(j)
+    p_B = Rz @ np.asarray(seq.gt_p[j]) + t_d  # session-B (drifted) VIO pose
+    q_B = np.asarray(quat_mul(jnp.asarray(q_z), jnp.asarray(np.asarray(seq.gt_q[j]))))
+    pts3d_B = pts3d @ Rz.T + t_d  # window landmarks in the drifted world
+    loop = gB.add_keyframe(float(np.asarray(seq.frame_t[j])), p_B, q_B, img=img,
+                           cam=cam, win_uv=uv, win_pts3d=pts3d_B, win_ids=ids)
+    assert loop is not None, gB.stats
+    assert loop["i"] < gB.base_n  # the edge lands in the LOADED map
+
+    gB.fast_relocalize(loop)
+    p_corr, q_corr = gB.correct(p_B, q_B)
+    err = np.linalg.norm(p_corr - np.asarray(seq.gt_p[j]))
+    assert err < 0.15, (err, gB.stats)
+
+
+def _pgo_arrays(g, K):
+    """Pack a PoseGraph's nodes+edges into the optimize_4dof* array form."""
+    E = len(g.edges)
+    e_i = np.array([e["i"] for e in g.edges], np.int32)
+    e_j = np.array([e["j"] for e in g.edges], np.int32)
+    e_t = np.stack([e["t"] for e in g.edges])
+    e_yaw = np.array([e["yaw"] for e in g.edges])
+    e_w = np.array([e["w"] for e in g.edges])
+    e_loop = np.array([float(e["loop"]) for e in g.edges])
+    e_valid = np.ones(E)
+    node_valid = np.zeros(K)
+    node_valid[: g.n] = 1.0
+    return (jnp.asarray(g.opt_p[:K]), jnp.asarray(g.opt_yaw[:K]),
+            jnp.asarray(g.pitch[:K]), jnp.asarray(g.roll[:K]), jnp.asarray(node_valid),
+            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_t), jnp.asarray(e_yaw),
+            jnp.asarray(e_w), jnp.asarray(e_valid), jnp.asarray(e_loop))
+
+
+def test_pcg_matches_dense_pgo():
+    """The matrix-free PCG 4-DoF PGO (large-capacity path) must agree with the
+    dense-Hessian solve on the same graph."""
+    n = 120
+    gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n)
+    g = pg.PoseGraph(LoopConfig(max_keyframes=128))
+    for k in range(n):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+    Ri = np.asarray(ypr_to_rot(jnp.asarray([gt_yaw[0], 0.0, 0.0])))
+    g.edges.append(dict(i=0, j=n - 1, t=Ri.T @ (gt_p[n - 1] - gt_p[0]),
+                        yaw=gt_yaw[n - 1] - gt_yaw[0], w=2.0, loop=1))
+    args = _pgo_arrays(g, 128)
+    xyz_d, yaw_d, _ = pg.optimize_4dof(*args, iters=15)
+    xyz_p, yaw_p, _ = pg.optimize_4dof_pcg(*args, iters=15, cg_iters=128)
+    np.testing.assert_allclose(np.asarray(xyz_p)[:n], np.asarray(xyz_d)[:n], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(yaw_p)[:n], np.asarray(yaw_d)[:n], atol=2e-3)
+
+
+@pytest.mark.slow
+def test_pgo_full_capacity_2048():
+    """4-DoF PGO at the default 2048-keyframe capacity: the PCG path must
+    close a long drifting loop with bounded memory (the dense (4K)² Hessian
+    would be 268 MB — VERDICT r1 weak #3)."""
+    n = 2000
+    gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n, yaw_drift_total=0.2,
+                                                      pos_drift_total=1.0)
+    g = pg.PoseGraph(LoopConfig(max_keyframes=2048))
+    for k in range(n):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+    Ri = np.asarray(ypr_to_rot(jnp.asarray([gt_yaw[0], 0.0, 0.0])))
+    g.edges.append(dict(i=0, j=n - 1, t=Ri.T @ (gt_p[n - 1] - gt_p[0]),
+                        yaw=gt_yaw[n - 1] - gt_yaw[0], w=2.0, loop=1))
+    err_before = np.linalg.norm(vio_p[n - 1] - gt_p[n - 1])
+    g.optimize(iters=15)  # capacity 2048 ≥ _PCG_THRESHOLD → PCG path
+    err_after = np.linalg.norm(g.opt_p[n - 1] - gt_p[n - 1])
+    assert err_after < err_before * 0.35, (err_before, err_after)
