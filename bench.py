@@ -118,6 +118,16 @@ def main():
         prior = marg.marginalize_old(st_out, fac, lay, cfg)
         return st_out, stats, prior
 
+    # the deployment shape: ONE XLA program per frame (the measured
+    # per-dispatch overhead through the device tunnel is ~1.7 ms — three
+    # separate tick programs pay it three times; the fused program once)
+    @jax.jit
+    def full_tick(pyr_prev, img_new, uv, valid, ln_s, st, fac):
+        pt_out = pt_tick(pyr_prev, img_new, uv, valid)
+        ln_out = ln_tick(img_new, *ln_s)
+        st_out, stats, prior = be_tick(st, fac)
+        return pt_out, ln_out[:3], (st_out.p, prior.r0)
+
     # ------------------------------- warmup ---------------------------------
     uv0, sc0 = fp.shi_tomasi_grid(imgs[0], jnp.zeros((1, 2), dtype),
                                   jnp.zeros((1,), dtype), cell=30, max_out=MAX_PTS)
@@ -131,12 +141,33 @@ def main():
     jax.block_until_ready((pt_state, ln_state, be_out))
 
     # --------------------- streaming measurement loop -----------------------
-    def stream(n, do_pt=True, do_ln=True, do_be=True):
+    # every tick gets UNIQUE inputs (a per-iteration jitter baked on device):
+    # with the 8 images cycling and `state, f` fixed, the chained states hit a
+    # fixed point after warmup and identical (executable, buffers) pairs
+    # repeat — any memoization between here and the chip would then fake the
+    # throughput. The jitter is one fused elementwise op, measured with the
+    # tick it feeds.
+    @jax.jit
+    def jitter_img(img, k):
+        return img + 1e-4 * jnp.sin(k.astype(img.dtype))
+
+    @jax.jit
+    def jitter_state(st, k):
+        return st._replace(p=st.p + 1e-7 * jnp.sin(k.astype(st.p.dtype)))
+
+    def stream(n, do_pt=True, do_ln=True, do_be=True, fused=False):
         nonlocal pt_state, ln_state
         outs = []
+        ks = [jax.device_put(jnp.asarray(i, jnp.int32), dev) for i in range(n)]
         t0 = time.time()
         for i in range(n):
-            img = imgs[i % N_IMGS]
+            img = jitter_img(imgs[i % N_IMGS], ks[i])
+            if fused:
+                pt_state, ln_state, be_out = full_tick(
+                    pt_state[0], img, pt_state[1], pt_state[2], ln_state,
+                    jitter_state(state, ks[i]), f)
+                outs.append(be_out[1])
+                continue
             if do_pt:
                 pt_state = pt_tick(pt_state[0], img, pt_state[1], pt_state[2])
                 outs.append(pt_state[1])
@@ -145,7 +176,7 @@ def main():
                 ln_state = (s, d, v)
                 outs.append(m)
             if do_be:
-                st_out, stats, prior = be_tick(state, f)
+                st_out, stats, prior = be_tick(jitter_state(state, ks[i]), f)
                 outs.append(prior.r0)
         jax.block_until_ready(outs)
         return (time.time() - t0) / n
@@ -153,9 +184,11 @@ def main():
     # steady-state warmup: the TPU tunnel amortizes per-program overhead over
     # the first ~25 invocations of each executable (measured: the line tick
     # drops 265 → 6.7 ms between its 1st and 25th call); measure AFTER that
-    stream(30)
+    stream(8)
+    stream(30, fused=True)
     n_meas = 48
-    t_all = stream(n_meas)
+    t_all = stream(n_meas, fused=True)
+    t_split = stream(24)
     t_pt = stream(24, do_ln=False, do_be=False)
     t_ln = stream(24, do_pt=False, do_be=False)
     t_be = stream(24, do_pt=False, do_ln=False)
@@ -166,7 +199,8 @@ def main():
     n_lns = int(np.asarray(jnp.sum(f.ln_valid)))
     n_trk = int(np.asarray(jnp.sum(pt_state[2])))
     print(
-        f"# device={dev.platform} chained full-system tick={t_all*1e3:.1f}ms → {fps:.1f} fps\n"
+        f"# device={dev.platform} FUSED full-system tick={t_all*1e3:.1f}ms → {fps:.1f} fps "
+        f"(3-program split: {t_split*1e3:.1f}ms)\n"
         f"#   points={t_pt*1e3:.1f}ms ({n_trk}/{MAX_PTS} live, LK+detect+feedback 752x480)\n"
         f"#   lines={t_ln*1e3:.1f}ms (2-octave Hough + LBD + match, {MAX_LINES} cap)\n"
         f"#   backend={t_be*1e3:.1f}ms (11 kf, {n_pts} pts, {n_lns} lines, 8-iter LM + marg) "

@@ -406,6 +406,14 @@ class Estimator:
         inv = np.asarray(st.inv_depth, np.float64)
         used = self.pt_table.used_in_solver()
         self.pt_table.inv_depth[used] = inv[used]
+        # `FeatureManager::removeFailures` (solve_flag == 2): a feature whose
+        # SOLVED inverse depth comes back non-positive is geometrically
+        # inconsistent — drop it entirely. Keeping it would re-triangulate it
+        # from the current (drifted) poses every frame and feed the bad
+        # geometry back into the next solve (and pin a table slot forever).
+        failed = used & (inv <= 0)
+        if np.any(failed):
+            self.pt_table.drop(np.nonzero(failed)[0])
         self.line_w = np.array(st.line, np.float64)
 
     # --------------------------------------------------------------- solving

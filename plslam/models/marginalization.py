@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from plslam.config import SolverConfig
 from plslam.models import residuals as res
-from plslam.models.state import TangentLayout, WindowState, retract
+from plslam.models.state import TangentLayout, WindowState
 
 
 class Prior(NamedTuple):
@@ -95,41 +95,14 @@ def _marg_factor_subset(f: res.WindowFactors) -> res.WindowFactors:
     )
 
 
-def _marg_residual_stack(state, f: res.WindowFactors, lay, focal, pt_w, ln_w,
-                         line_param="world"):
-    return res.residual_stack(state, _marg_factor_subset(f), lay, focal, pt_w, ln_w,
-                              line_param=line_param)
-
-
-def _eliminate_landmarks(H, b, lay: TangentLayout, eps):
-    DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
-    Hcc = H[:DC, :DC]
-    Bd = H[:DC, DC : DC + MF]
-    Bl = H[:DC, DC + MF :].reshape(DC, ML, 4)
-    b_c = b[:DC]
-    b_d = b[DC : DC + MF]
-    b_l = b[DC + MF :].reshape(ML, 4)
-
-    d = jnp.diag(H)[DC : DC + MF]
-    d_inv = jnp.where(d > eps, 1.0 / jnp.maximum(d, eps), 0.0)
-    C_l = H[DC + MF :, DC + MF :]
-    idx = jnp.arange(ML)
-    Cb = C_l.reshape(ML, 4, ML, 4)[idx, :, idx, :]
-    Cb_inv = jax.vmap(lambda M: _pinv_psd(M, eps))(Cb)
-
-    BCd = Bd * d_inv[None, :]
-    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
-    H_c = Hcc - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
-    b_cc = b_c - BCd @ b_d - jnp.einsum("dmb,mb->d", BCl, b_l)
-    return H_c, b_cc
-
-
 @partial(jax.jit, static_argnames=("lay", "cfg"))
 def marginalize_old(
     state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig
 ) -> Prior:
     """MARGIN_OLD: absorb frame 0 (pose+speedbias) and its landmarks into a
     new linear prior, already re-indexed for the subsequent window shift."""
+    from plslam.models.solver import linearize_blocks
+
     focal = cfg.focal_length
     lp = cfg.line_param
     eps = cfg.eig_eps if state.p.dtype == jnp.float64 else max(cfg.eig_eps, 1e-5)
@@ -137,26 +110,41 @@ def marginalize_old(
         # callers hold world-frame lines; marginalize in the configured chart
         state = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
     pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
-    zero = jnp.zeros((lay.dim,), state.p.dtype)
+    DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
 
-    def r_fn(delta):
-        return _marg_residual_stack(retract(state, delta, lay), f, lay, focal, pt_w, ln_w, lp)
-
-    r0 = r_fn(zero)
-    J = jax.jacfwd(r_fn)(zero)
-    H = J.T @ J
-    b = J.T @ r0
+    # structured linearization of the marginal factor subset (same fast path
+    # as the solver: camera-dims jacfwd + landmark jvps — the blocks ARE the
+    # Schur layout `_eliminate_landmarks` needs, no dense [D,D] H)
+    ones = jnp.ones((lay.dim,), state.p.dtype)
+    r0, J_cam, (B_d, d_raw, b_d_raw, B_l, Cb_raw, b_l_raw) = linearize_blocks(
+        state, _marg_factor_subset(f), lay, focal, pt_w, ln_w, ones, None, lp)
+    Hcc = J_cam.T @ J_cam
+    b_cr = J_cam.T @ r0
 
     # 0) Jacobi scaling: IMU-bias whitening puts ~14 decades on diag(H); every
     #    eigendecomposition below operates in scaled (unit-diagonal) space so
     #    the eigenvalue floor is relative and float32 survives.
-    dH = jnp.diag(H)
-    sc = jnp.where(dH > 1e-12, 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-12)), 1.0)
-    Hs = H * sc[:, None] * sc[None, :]
-    bs = b * sc
+    diag = jnp.concatenate([jnp.diag(Hcc), d_raw,
+                            jax.vmap(jnp.diag)(Cb_raw).reshape(-1)])
+    sc = jnp.where(diag > 1e-12, 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-12)), 1.0)
+    sc_c = sc[:DC]
+    sc_d = sc[DC : DC + MF]
+    sc_l = sc[DC + MF :].reshape(ML, 4)
 
-    # 1) eliminate all landmark dims (uninvolved blocks are zero → pinv drops them)
-    H_c, b_c = _eliminate_landmarks(Hs, bs, lay, eps)
+    # 1) eliminate all landmark dims in scaled space (uninvolved blocks are
+    #    zero → the pseudo-inverses drop them), directly from the blocks
+    Hcc_s = Hcc * sc_c[:, None] * sc_c[None, :]
+    Bd = B_d * sc_c[:, None] * sc_d[None, :]
+    Bl = B_l * sc_c[:, None, None] * sc_l[None, :, :]
+    d_s = d_raw * sc_d * sc_d
+    Cb = Cb_raw * sc_l[:, :, None] * sc_l[:, None, :]
+    d_inv = jnp.where(d_s > eps, 1.0 / jnp.maximum(d_s, eps), 0.0)
+    Cb_inv = jax.vmap(lambda M: _pinv_psd(M, eps))(Cb)
+    BCd = Bd * d_inv[None, :]
+    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
+    H_c = Hcc_s - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
+    b_c = (b_cr * sc_c - BCd @ (b_d_raw * sc_d)
+           - jnp.einsum("dmb,mb->d", BCl, b_l_raw * sc_l))
 
     # 2) eliminate frame-0 pose+speedbias (15 dims) with eigh pseudo-inverse
     drop, keep = _drop0_indices(lay)
@@ -171,8 +159,8 @@ def marginalize_old(
 
     # 3) scatter back to DC dims (frame-0 slots zero) and apply the shift perm
     DC = lay.dim_cam
-    H_full = jnp.zeros((DC, DC), H.dtype).at[jnp.ix_(keep, keep)].set(H_new_k)
-    b_full = jnp.zeros((DC,), H.dtype).at[keep].set(b_new_k)
+    H_full = jnp.zeros((DC, DC), H_c.dtype).at[jnp.ix_(keep, keep)].set(H_new_k)
+    b_full = jnp.zeros((DC,), H_c.dtype).at[keep].set(b_new_k)
     perm = _shift_perm(lay)
     H_full = H_full[perm][:, perm]
     b_full = b_full[perm]
@@ -185,7 +173,7 @@ def marginalize_old(
     # 5) snapshot = current state shifted like the window will be
     roll = lambda a: jnp.concatenate([a[1:], a[:1]], axis=0)
     return Prior(
-        J=J0, r0=r0p, valid=jnp.ones((), H.dtype),
+        J=J0, r0=r0p, valid=jnp.ones((), H_c.dtype),
         p=roll(state.p), q=roll(state.q), v=roll(state.v),
         ba=roll(state.ba), bg=roll(state.bg),
         p_bc=state.p_bc, q_bc=state.q_bc, td=state.td,

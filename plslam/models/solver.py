@@ -74,6 +74,134 @@ def linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w=None, line_param="w
     return r0, J
 
 
+def linearize_blocks(state, f, lay: TangentLayout, focal, pt_w, ln_w, mask,
+                     relo_w=None, line_param="world"):
+    """Structured linearization — the production fast path.
+
+    The full-tangent `jacfwd` (D ≈ DC + MF + 4·ML ≈ 700 directional
+    derivatives of the whole stack) wastes > 3/4 of its tangents on landmark
+    dims whose jacobian is SLOT-DIAGONAL: residual slot (feature f, frame j)
+    depends only on λ_f (and line slot only on its own 4 orth dims). So:
+
+      * camera dims: one jacfwd over the DC ≈ 164 camera tangents,
+      * depth column: ONE jvp along the all-ones depth tangent (each slot
+        reads off ∂r/∂λ_f exactly — no other depth reaches it),
+      * line columns: four jvps (one per orth component),
+      * normal-equation blocks (H_cc, B_d, d, B_l, C_b, b) assembled by
+        einsum directly in the Schur block layout — no scatters, no dense
+        [D,D] H.
+
+    Returns (r0, J_cam [N,DC], blocks) with blocks =
+    (B_d [DC,MF], d [MF], b_d [MF], B_l [DC,ML,4], Cb [ML,4,4], b_l [ML,4]).
+    Produces the same normal equations as the dense path (tests pin it)."""
+    DC, MF, ML, NW = lay.dim_cam, lay.max_f, lay.max_l, lay.nw
+    W = NW - 1
+    dtype = state.p.dtype
+    mask_c = mask[:DC]
+    mask_d = mask[DC : DC + MF]
+    mask_l = mask[DC + MF :].reshape(ML, 4)
+
+    def r_cam(dc):
+        delta = jnp.zeros((lay.dim,), dtype).at[:DC].set(dc * mask_c)
+        return res.residual_stack(retract(state, delta, lay), f, lay, focal,
+                                  pt_w, ln_w, relo_w, line_param)
+
+    zero_c = jnp.zeros((DC,), dtype)
+    r0 = r_cam(zero_c)
+    J_cam = jax.jacfwd(r_cam)(zero_c)  # [N,DC]
+
+    def r_vis_depth(dd):
+        delta = jnp.zeros((lay.dim,), dtype).at[DC : DC + MF].set(dd * mask_d)
+        st = retract(state, delta, lay)
+        r_pt = res.point_residuals(st, f, focal)
+        if pt_w is not None:
+            r_pt = r_pt * pt_w[..., None]
+        r_re = res.relo_residuals(st, f, focal)
+        if relo_w is not None:
+            r_re = r_re * relo_w[:, None]
+        return r_pt, r_re
+
+    _, (Jd_pt, Jd_re) = jax.jvp(r_vis_depth, (jnp.zeros((MF,), dtype),),
+                                (jnp.ones((MF,), dtype),))  # [MF,NW,2],[MF,2]
+
+    def r_lines(dl):
+        delta = jnp.zeros((lay.dim,), dtype).at[DC + MF :].set((dl * mask_l).reshape(-1))
+        st = retract(state, delta, lay)
+        r_ln = res.line_residuals(st, f, focal, line_param)
+        return r_ln * ln_w[..., None] if ln_w is not None else r_ln
+
+    zero_l = jnp.zeros((ML, 4), dtype)
+    Jl = []
+    for k in range(4):
+        _, Jk = jax.jvp(r_lines, (zero_l,), (zero_l.at[:, k].set(1.0),))
+        Jl.append(Jk)
+    J_ln = jnp.stack(Jl, axis=-1)  # [ML,NW,2,4]
+
+    # residual-stack row layout: [prior DC | imu W·15 | pt MF·NW·2 | ln ML·NW·2 | relo MF·2]
+    o_pt = DC + W * 15
+    o_ln = o_pt + MF * NW * 2
+    o_re = o_ln + ML * NW * 2
+    Jc_pt = J_cam[o_pt:o_ln].reshape(MF, NW, 2, DC)
+    Jc_ln = J_cam[o_ln:o_re].reshape(ML, NW, 2, DC)
+    Jc_re = J_cam[o_re:].reshape(MF, 2, DC)
+    r_pt = r0[o_pt:o_ln].reshape(MF, NW, 2)
+    r_ln = r0[o_ln:o_re].reshape(ML, NW, 2)
+    r_re = r0[o_re:].reshape(MF, 2)
+
+    B_d = (jnp.einsum("fjrd,fjr->df", Jc_pt, Jd_pt)
+           + jnp.einsum("frd,fr->df", Jc_re, Jd_re))  # [DC,MF]
+    d = jnp.sum(Jd_pt * Jd_pt, axis=(1, 2)) + jnp.sum(Jd_re * Jd_re, axis=1)  # [MF]
+    b_d = jnp.sum(Jd_pt * r_pt, axis=(1, 2)) + jnp.sum(Jd_re * r_re, axis=1)
+    B_l = jnp.einsum("ljrd,ljrk->dlk", Jc_ln, J_ln)  # [DC,ML,4]
+    Cb = jnp.einsum("ljrk,ljrm->lkm", J_ln, J_ln)  # [ML,4,4]
+    b_l = jnp.einsum("ljrk,ljr->lk", J_ln, r_ln)  # [ML,4]
+    return r0, J_cam, (B_d, d, b_d, B_l, Cb, b_l)
+
+
+def schur_solve_blocks(r0, J_cam, blocks, lay: TangentLayout, lam, mask, eps=1e-8):
+    """`schur_solve` on the pre-assembled Schur blocks (no dense [D,D] H).
+    Identical math: Jacobi column scaling, +λI damping in scaled variables,
+    closed-form landmark elimination, Cholesky on the DC×DC reduced system."""
+    DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
+    B_d, d_raw, b_d_raw, B_l, Cb_raw, b_l_raw = blocks
+    H_cc = J_cam.T @ J_cam
+    b_c_raw = J_cam.T @ r0
+
+    diag = jnp.concatenate([jnp.diag(H_cc), d_raw,
+                            jax.vmap(jnp.diag)(Cb_raw).reshape(-1)])
+    pin = 1.0 - mask
+    scale = (1.0 / jnp.sqrt(jnp.maximum(diag, eps))) * mask
+    sc_c = scale[:DC]
+    sc_d = scale[DC : DC + MF]
+    sc_l = scale[DC + MF :].reshape(ML, 4)
+    damp = lam + eps
+
+    A = H_cc * sc_c[:, None] * sc_c[None, :] + jnp.diag(pin[:DC] + damp * mask[:DC])
+    Bd = B_d * sc_c[:, None] * sc_d[None, :]
+    Bl = B_l * sc_c[:, None, None] * sc_l[None, :, :]
+    b_c = b_c_raw * sc_c
+    b_d = b_d_raw * sc_d
+    b_l = b_l_raw * sc_l
+
+    d = d_raw * sc_d * sc_d + pin[DC : DC + MF] + damp * mask[DC : DC + MF]
+    Cb = Cb_raw * sc_l[:, :, None] * sc_l[:, None, :]
+    pin_l = pin[DC + MF :].reshape(ML, 4)
+    Cb = Cb + jax.vmap(jnp.diag)(pin_l + damp * mask[DC + MF :].reshape(ML, 4))
+    Cb_inv = jnp.linalg.inv(Cb)
+
+    BCd = Bd / d[None, :]
+    BCl = jnp.einsum("dma,mab->dmb", Bl, Cb_inv)
+    S = A - BCd @ Bd.T - jnp.einsum("dmb,emb->de", BCl, Bl)
+    rhs = -b_c + BCd @ b_d + jnp.einsum("dmb,mb->d", BCl, b_l)
+
+    cf = jax.scipy.linalg.cho_factor(S)
+    dc = jax.scipy.linalg.cho_solve(cf, rhs)
+    dd = (-b_d - Bd.T @ dc) / d
+    dl = jnp.einsum("mab,mb->ma", Cb_inv, -b_l - jnp.einsum("dma,d->ma", Bl, dc))
+    delta = jnp.concatenate([dc * sc_c, dd * sc_d, (dl * sc_l).reshape(-1)])
+    return delta * mask
+
+
 def _line_diag_blocks(C_l, max_l):
     idx = jnp.arange(max_l)
     return C_l.reshape(max_l, 4, max_l, 4)[idx, :, idx, :]  # [ML,4,4]
@@ -131,7 +259,7 @@ def cost_of(r):
     return 0.5 * jnp.sum(r * r)
 
 
-@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters", "freeze_frames", "structured", "extra_pinned"))
+@partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters", "freeze_frames", "structured", "extra_pinned", "dense"))
 def optimize_window(
     state: WindowState,
     f: res.WindowFactors,
@@ -144,15 +272,16 @@ def optimize_window(
     structured: bool = False,
     extra_pinned: tuple = (),
     pin_mask=None,
+    dense: bool = False,
 ):
     """Run the windowed LM solve; returns (state', stats). Jitted once per
     static config (`Estimator::optimization()` equivalent).
 
-    structured=True uses the per-factor block assembly (assembly.py — ~20×
-    fewer FLOPs but scatter-add-bound: measured 10× SLOWER on TPU v5e, where
-    one big batched jacfwd + MXU matmul beats 845K-element scatters). The
-    dense path is the default; the assembler remains for CPU-ish backends and
-    as the validation cross-check."""
+    Default linearization is `linearize_blocks` (camera-dims jacfwd + 5
+    landmark jvps + direct Schur-block einsum assembly — no dense [D,D] H).
+    dense=True is the original full-tangent jacfwd (validation cross-check);
+    structured=True is the per-factor scatter assembly (assembly.py — ~20×
+    fewer FLOPs but scatter-add-bound: measured 10× SLOWER on TPU v5e)."""
     from plslam.models import assembly
 
     focal = cfg.focal_length
@@ -171,12 +300,18 @@ def optimize_window(
             H, b, cost_here = assembly.assemble(state, f, lay, focal, pt_w, ln_w, relo_w, lp)
             H = H * mask[:, None] * mask[None, :]
             b = b * mask
-        else:
+            delta = schur_solve(H, b, lay, lam, mask)
+        elif dense:
             r, J = linearize(state, f, lay, focal, pt_w, ln_w, mask, relo_w, lp)
             H = J.T @ J
             b = J.T @ r
             cost_here = cost_of(r)
-        delta = schur_solve(H, b, lay, lam, mask)
+            delta = schur_solve(H, b, lay, lam, mask)
+        else:
+            r, J_cam, blocks = linearize_blocks(state, f, lay, focal, pt_w, ln_w,
+                                                mask, relo_w, lp)
+            cost_here = cost_of(r)
+            delta = schur_solve_blocks(r, J_cam, blocks, lay, lam, mask)
         state_try = retract(state, delta, lay)
         cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w, relo_w, lp))
         accept = cost_try < cost_here

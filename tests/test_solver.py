@@ -145,3 +145,38 @@ def test_optimize_float32(window):
     state_opt, stats = solver.optimize_window(state_pert, f32, LAY, CFG, num_iters=8)
     p_err = np.asarray(jnp.linalg.norm(state_opt.p - state32.p, axis=-1))
     assert p_err.max() < 5e-3, p_err
+
+
+def test_blocks_linearization_matches_dense(window):
+    """`linearize_blocks` + `schur_solve_blocks` (the production fast path:
+    camera-dims jacfwd + landmark jvps, no dense [D,D] H) must reproduce the
+    full-tangent dense path's step exactly."""
+    state, f = window
+    pt_w, ln_w, relo_w = res.robust_weights(state, f, CFG.focal_length, CFG.cauchy_c)
+    mask = solver.free_mask(f, LAY, CFG, False, False)
+    lam = jnp.asarray(1e-4)
+
+    r0_d, J = solver.linearize(state, f, LAY, CFG.focal_length, pt_w, ln_w, mask, relo_w)
+    H = J.T @ J
+    b = J.T @ r0_d
+    delta_dense = solver.schur_solve(H, b, LAY, lam, mask)
+
+    r0_b, J_cam, blocks = solver.linearize_blocks(
+        state, f, LAY, CFG.focal_length, pt_w, ln_w, mask, relo_w)
+    np.testing.assert_allclose(np.asarray(r0_b), np.asarray(r0_d), atol=1e-12)
+    delta_blocks = solver.schur_solve_blocks(r0_b, J_cam, blocks, LAY, lam, mask)
+    scale = np.abs(np.asarray(delta_dense)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(delta_blocks), np.asarray(delta_dense),
+                               atol=1e-7 * scale)
+
+
+def test_optimize_blocks_matches_dense_solve(window):
+    state_gt, f = window
+    rng = np.random.default_rng(12)
+    delta = np.zeros(LAY.dim)
+    delta[6 : LAY.nw * 6] = rng.standard_normal((LAY.nw - 1) * 6) * 0.005
+    pert = retract(state_gt, jnp.asarray(delta), LAY)
+    st_b, stats_b = solver.optimize_window(pert, f, LAY, CFG, num_iters=6)
+    st_d, stats_d = solver.optimize_window(pert, f, LAY, CFG, num_iters=6, dense=True)
+    np.testing.assert_allclose(np.asarray(st_b.p), np.asarray(st_d.p), atol=1e-6)
+    np.testing.assert_allclose(float(stats_b.cost), float(stats_d.cost), rtol=1e-6)
