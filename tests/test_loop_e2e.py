@@ -1,13 +1,28 @@
-"""Loop-closure end-to-end on an image-built pose graph: the full image
-pipeline runs with loop closure enabled (place recognition + BRIEF matching +
-PnP candidates all execute), then a ground-truth revisit edge closes the
-graph and the 4-DoF PGO + drift correction must pull the trajectory together.
+"""Appearance-level loop closure END-TO-END on rendered imagery — no
+ground-truth edge injection anywhere.
 
-Appearance-level loop CONFIRMATION on the rendered blob imagery sits below
-the PnP inlier thresholds (renderer artifact — each stamp carries only a
-~7 px texture patch; see STATUS.md); the descriptor/PnP stages are pinned by
-module tests (test_pose_graph) and real-image confirmation is the EuRoC
-task."""
+The full reference chain runs from pixels (SURVEY.md §3.4): PNG decode →
+CLAHE → LK frontend → estimator → keyframe DB → place recognition → BRIEF
+matching (`searchByBRIEFDes`) → PnP RANSAC (≥25 inliers, the reference's
+`findConnection` gate) → loop edge → 4-DoF PGO → drift correction.
+
+Drift regime: the estimator is fed a miscalibrated camera-IMU extrinsic
+(1.5° yaw + ~1 cm lever arm — the classic real-rig failure loop closure
+exists to absorb) while the renderer uses the true one, producing ~0.5 m of
+systematic drift over one 14 s circle; the appearance loop edges measure the
+revisit error to ~0.1 m (validated against ground truth).
+
+What is asserted — the reference capabilities, each where it is honest:
+  * loops CONFIRM from appearance alone (BRIEF+PnP, no GT injection),
+  * the PGO reconciles the map: the revisit gap (loop-edge residual at the
+    corrected poses) collapses vs its raw-VIO value — map consistency, the
+    purpose of `optimize4DoF`,
+  * the correction does not distort the trajectory (bounded ATE ratio).
+Pointwise-ATE *reduction* under drift is pinned separately at graph level by
+test_pose_graph (drifting loop closed); on a 14 s sequence the loop edges
+inherit the local reconstruction error (~0.1 m — they are built from the
+session's own triangulated points, ref `KeyFrame::findConnection`), so
+e2e ATE improvement only appears on drifts ≫ that, i.e. multi-minute runs."""
 import numpy as np
 import pytest
 
@@ -18,65 +33,82 @@ from plslam.eval.metrics import ate_rmse
 from plslam.io import render, synthetic
 from plslam.ops.cameras import PinholeRadTan
 from plslam.runner import run_euroc
-from plslam.utils.geometry import quat_to_rot, rot_to_ypr
+from plslam.utils.geometry import quat_to_rot, ypr_to_rot
 import jax.numpy as jnp
 
 
+def _loop_gaps(pg, xyz, yaw):
+    """Loop-edge residual translations at poses (xyz, yaw) — the revisit
+    gap each loop edge measures (optimize_4dof's r_t)."""
+    gaps = []
+    for e in pg.edges:
+        if not e.get("loop"):
+            continue
+        i, j = e["i"], e["j"]
+        Ri = np.asarray(ypr_to_rot(jnp.asarray([yaw[i], pg.pitch[i], pg.roll[i]])))
+        gaps.append(np.linalg.norm(Ri.T @ (xyz[j] - xyz[i]) - np.asarray(e["t"])))
+    return np.asarray(gaps)
+
+
 @pytest.mark.slow
-def test_loop_machinery_on_image_built_graph(tmp_path):
-    H, W = 240, 376
+def test_appearance_loop_closure_end_to_end(tmp_path):
+    # One full circle at ω=0.5 rad/s revisits the start after 2π/0.5 ≈ 12.6 s;
+    # 14 s gives the detector a revisit window. EuRoC-class IMU noise.
+    H, W, f = 480, 752, 460.0
     params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8)
     seq = synthetic.make_sequence(duration=14.0, n_points=500, n_lines=40, seed=23,
-                                  params=params)
-    cam = PinholeRadTan.create(160.0, 160.0, W / 2, H / 2)
-    render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=280, blob_sigma=3.0, style="textured")
+                                  params=params, acc_noise=0.1, gyr_noise=0.005,
+                                  acc_bias=0.05, gyr_bias=0.002)
+    cam = PinholeRadTan.create(f, f, W / 2, H / 2)
+    render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=280,
+                               blob_sigma=3.0, style="textured")
 
+    # miscalibrated extrinsic fed to the estimator (true one renders)
     R_bc = np.array(quat_to_rot(seq.q_bc))
+    a = np.radians(1.5)
+    Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    R_bc = R_bc @ Rz
+    p_bc = np.array(seq.p_bc) + np.array([0.01, -0.005, 0.008])
+
     cfg = PLSlamConfig(
-        camera=CameraConfig(image_width=W, image_height=H, fx=160.0, fy=160.0,
+        camera=CameraConfig(image_width=W, image_height=H, fx=f, fy=f,
                             cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
-        tracker=TrackerConfig(max_cnt=100, min_dist=18, equalize=True, min_score=2e-3),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
         solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
-                            focal_length=160.0),
-        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(np.array(seq.p_bc))),
+                            focal_length=f),
+        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(p_bc)),
         loop=LoopConfig(loop_closure=True, min_loop_gap=40, max_keyframes=512),
     )
     ts, ps, qs, est, pg = run_euroc(str(tmp_path), cfg, use_lines=False)
     assert est.initialized
-    assert pg is not None and pg.n > 40  # image-built keyframe graph
-    assert pg.db.n > 40  # BRIEF/global-descriptor DB populated from images
+    assert pg is not None and pg.n > 80  # image-built keyframe graph
+    assert pg.db.n > 80
 
-    raw_ate = ate_rmse(ts, ps, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
+    # ---- the reference capability: loops CONFIRM from pixels alone ----
+    accepted = [r for r in pg.stats if r["outcome"] == "accepted"]
+    assert pg.loop_count >= 1, pg.stats[-20:]
+    assert all(r["inliers"] >= cfg.loop.min_pnp_inliers for r in accepted)
 
-    # inject the GT revisit edge between the temporally-farthest keyframe pair
-    # whose GT poses nearly coincide (what findConnection would deliver)
     gt_t = np.asarray(seq.frame_t)
     gt_p = np.asarray(seq.gt_p)
+    n = pg.n
+    raw_kf_ate = ate_rmse(pg.t_kf[:n], pg.vio_p[:n], gt_t, gt_p, align="yaw")
+    assert raw_kf_ate > 0.25, raw_kf_ate  # the miscalibration DID create drift
 
-    def gt_at(t):
-        return gt_p[np.argmin(np.abs(gt_t - t))]
+    # ---- map consistency: the PGO collapses the revisit gap ----
+    from plslam.utils.geometry import rot_to_ypr
+    raw_yaw = np.array([
+        float(np.asarray(rot_to_ypr(quat_to_rot(jnp.asarray(pg.vio_q[k]))))[0])
+        for k in range(n)
+    ])
+    gap_raw = _loop_gaps(pg, pg.vio_p, raw_yaw)
+    gap_corr = _loop_gaps(pg, pg.opt_p, pg.opt_yaw)
+    assert gap_raw.max() > 0.4, gap_raw  # visible revisit error before
+    assert gap_corr.max() < 0.35 * gap_raw.max(), (gap_raw, gap_corr)
+    assert gap_corr.max() < 0.25, gap_corr  # edges reconciled in absolute terms
 
-    best = None
-    for j in range(pg.n - 1, pg.n // 2, -1):
-        for i in range(0, pg.n // 3):
-            d = np.linalg.norm(gt_at(pg.t_kf[j]) - gt_at(pg.t_kf[i]))
-            if best is None or d < best[0]:
-                best = (d, i, j)
-    _, i, j = best
-    gi = np.argmin(np.abs(gt_t - pg.t_kf[i]))
-    gj = np.argmin(np.abs(gt_t - pg.t_kf[j]))
-    from plslam.utils.geometry import quat_to_rot as q2r
-
-    Ri = np.asarray(q2r(jnp.asarray(np.asarray(seq.gt_q[gi]))))
-    rel_t = Ri.T @ (gt_p[gj] - gt_p[gi])
-    yaw_i = float(np.asarray(rot_to_ypr(jnp.asarray(Ri)))[0])
-    yaw_j = float(np.asarray(rot_to_ypr(q2r(jnp.asarray(np.asarray(seq.gt_q[gj])))))[0])
-    pg.edges.append(dict(i=i, j=j, t=rel_t, yaw=yaw_j - yaw_i, w=2.0, loop=1))
-    pg.loop_count += 1
-    pg.optimize(iters=20)
-
-    # drift-corrected trajectory must not be worse than raw VIO and must be sane
-    ps_corr = np.stack([pg.correct(p, np.array([1.0, 0, 0, 0]))[0] for p in ps])
-    corr_ate = ate_rmse(ts, ps_corr, gt_t, gt_p, align="yaw")
-    assert np.isfinite(corr_ate)
-    assert corr_ate < max(raw_ate * 1.2, 0.5), (raw_ate, corr_ate)
+    # ---- and the correction does not distort the trajectory ----
+    corr_kf_ate = ate_rmse(pg.t_kf[:n], pg.opt_p[:n], gt_t, gt_p, align="yaw")
+    assert corr_kf_ate < raw_kf_ate * 1.3, (raw_kf_ate, corr_kf_ate)
+    stream_ate = ate_rmse(ts, ps, gt_t, gt_p, align="yaw")
+    assert np.isfinite(stream_ate) and stream_ate < 1.0, stream_ate
