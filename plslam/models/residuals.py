@@ -311,6 +311,42 @@ def cauchy_weights(r2, c: float):
     return 1.0 / jnp.sqrt(1.0 + r2 / (c * c))
 
 
+def residual_groups(state: WindowState, f: WindowFactors, lay: TangentLayout,
+                    focal: float, line_param: str = "world"):
+    """All residual groups at `state`, vision parts UNWEIGHTED:
+    (r_prior [DC], r_imu [(NW−1)·15], r_pt [MF,NW,2], r_ln [ML,NW,2],
+    r_relo [MF,2]). One evaluation serves three uses in the LM loop: IRLS
+    weights, the weighted cost, and the next iteration's carry."""
+    return (
+        prior_residual(state, f, lay),
+        imu_residuals(state, f).reshape(-1),
+        point_residuals(state, f, focal),
+        line_residuals(state, f, focal, line_param),
+        relo_residuals(state, f, focal),
+    )
+
+
+def weights_of_groups(groups, cauchy_c: float):
+    """IRLS √Cauchy weights from unweighted residual groups."""
+    _, _, r_pt, r_ln, r_relo = groups
+    pt_w = cauchy_weights(jnp.sum(r_pt * r_pt, axis=-1), cauchy_c)
+    ln_w = cauchy_weights(jnp.sum(r_ln * r_ln, axis=-1), cauchy_c)
+    relo_w = cauchy_weights(jnp.sum(r_relo * r_relo, axis=-1), cauchy_c)
+    return pt_w, ln_w, relo_w
+
+
+def stack_of_groups(groups, pt_w, ln_w, relo_w):
+    """Weighted residual stack from unweighted groups (same layout as
+    `residual_stack`)."""
+    r_pr, r_imu, r_pt, r_ln, r_relo = groups
+    return jnp.concatenate([
+        r_pr, r_imu,
+        (r_pt * pt_w[..., None]).reshape(-1),
+        (r_ln * ln_w[..., None]).reshape(-1),
+        (r_relo * relo_w[:, None]).reshape(-1),
+    ])
+
+
 def robust_weights(state: WindowState, f: WindowFactors, focal: float, cauchy_c: float,
                    line_param: str = "world"):
     """Per-observation IRLS weights from the current (unweighted) residuals."""

@@ -290,12 +290,18 @@ def optimize_window(
     if pin_mask is not None:
         mask = mask * pin_mask  # dynamic pins (no recompilation per pin set)
 
-    pt_w0, ln_w0, relo_w0 = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
-    cost0 = cost_of(res.residual_stack(state, f, lay, focal, pt_w0, ln_w0, relo_w0, lp))
+    groups0 = res.residual_groups(state, f, lay, focal, lp)
+    pt_w0, ln_w0, relo_w0 = res.weights_of_groups(groups0, cfg.cauchy_c)
+    cost0 = cost_of(res.stack_of_groups(groups0, pt_w0, ln_w0, relo_w0))
 
     def step(_, carry):
-        state, lam, cost, naccept = carry
-        pt_w, ln_w, relo_w = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
+        # the carried `groups` are the UNWEIGHTED residuals at `state` — the
+        # cost_try evaluation of the previous iteration. Deriving this
+        # iteration's IRLS weights from them (instead of re-evaluating
+        # robust_weights) removes one full residual-stack evaluation per LM
+        # iteration; the values are identical by construction.
+        state, groups, lam, cost, naccept = carry
+        pt_w, ln_w, relo_w = res.weights_of_groups(groups, cfg.cauchy_c)
         if structured:
             H, b, cost_here = assembly.assemble(state, f, lay, focal, pt_w, ln_w, relo_w, lp)
             H = H * mask[:, None] * mask[None, :]
@@ -313,20 +319,22 @@ def optimize_window(
             cost_here = cost_of(r)
             delta = schur_solve_blocks(r, J_cam, blocks, lay, lam, mask)
         state_try = retract(state, delta, lay)
-        cost_try = cost_of(res.residual_stack(state_try, f, lay, focal, pt_w, ln_w, relo_w, lp))
+        groups_try = res.residual_groups(state_try, f, lay, focal, lp)
+        cost_try = cost_of(res.stack_of_groups(groups_try, pt_w, ln_w, relo_w))
         accept = cost_try < cost_here
         state = jax.tree.map(lambda a, c: jnp.where(accept, a, c), state_try, state)
+        groups = jax.tree.map(lambda a, c: jnp.where(accept, a, c), groups_try, groups)
         lam = jnp.where(
             accept,
             jnp.maximum(lam * 0.4, cfg.lm_lambda_min),
             jnp.minimum(lam * 5.0, cfg.lm_lambda_max),
         )
         cost = jnp.where(accept, cost_try, cost_here)
-        return (state, lam, cost, naccept + accept.astype(jnp.int32))
+        return (state, groups, lam, cost, naccept + accept.astype(jnp.int32))
 
     lam0 = jnp.asarray(cfg.lm_lambda_init, state.p.dtype)
-    state_out, lam, cost, naccept = jax.lax.fori_loop(
-        0, num_iters, step, (state, lam0, cost0, jnp.zeros((), jnp.int32))
+    state_out, _, lam, cost, naccept = jax.lax.fori_loop(
+        0, num_iters, step, (state, groups0, lam0, cost0, jnp.zeros((), jnp.int32))
     )
     state_out = reanchor(state_out, state, line_param=lp)
     return state_out, SolveStats(cost0=cost0, cost=cost, lam=lam, accepted=naccept)

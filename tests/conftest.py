@@ -18,3 +18,22 @@ import jax  # noqa: E402  (already imported by sitecustomize; backend still unin
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite triggers ~hundreds of XLA:CPU
+# compiles; LLVM has crashed (SIGSEGV inside backend_compile_and_load) twice
+# mid-suite on this box — both times in a long-lived process after many
+# compiles, never in isolation. Caching compiled executables on disk makes
+# reruns skip LLVM almost entirely (and cuts suite wall-clock drastically).
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_plslam_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop in-memory executables between test modules — keeps the
+    long-lived pytest process lean (refills cheaply from the disk cache)."""
+    yield
+    jax.clear_caches()
