@@ -84,6 +84,13 @@ def rpe(est_t, est_p, gt_t, gt_p, est_q=None, gt_q=None, delta=1.0, max_dt=0.02)
     ok = np.abs(gt_t[gi] - est_t) <= max_dt
     P_p = np.asarray(est_p)[ok]
     G_p = np.asarray(gt_p)[gi][ok]
+    if est_q is None or gt_q is None:
+        # translation-only: world-frame deltas are gauge-sensitive (the
+        # estimate lives in its own yaw/origin), so 4-DoF-align first —
+        # matching evo's pre-alignment for position-only trajectories
+        if len(P_p) >= 3:
+            R, t = yaw_only_alignment(P_p, G_p)
+            P_p = P_p @ R.T + t
     ts = est_t[ok]
     have_rot = est_q is not None and gt_q is not None
     if have_rot:

@@ -1,0 +1,83 @@
+"""Accuracy table over diverse rendered EuRoC-style sequences.
+
+Runs the full image pipeline (PNG → native decode → CLAHE → point[+line]
+frontends → initialization → estimator [→ loop closure]) on several
+trajectory/noise configurations at EuRoC resolution and prints an
+ATE/RPE/scale table — the in-sandbox stand-in for the 11-sequence EuRoC
+parity target while the dataset is absent (BASELINE.md; real-data hooks:
+`plslam/io/euroc.py`).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/accuracy_table.py
+"""
+import tempfile
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from plslam.config import (
+    CameraConfig, ExtrinsicConfig, LoopConfig, PLSlamConfig, SolverConfig, TrackerConfig,
+)
+from plslam.eval.metrics import ate_rmse, rpe
+from plslam.io import render, synthetic
+from plslam.ops.cameras import PinholeRadTan
+from plslam.runner import run_euroc
+from plslam.utils.geometry import quat_to_rot
+
+H, W, F = 480, 752, 460.0
+
+CASES = [
+    # name, duration, trajectory params, sequence kwargs, loop closure, lines
+    ("gentle-arc", 8.0, dict(omega=0.3, z_omega=0.6), dict(), False, True),
+    ("fast-circle", 8.0, dict(omega=0.5, z_omega=0.8), dict(), False, True),
+    ("imu-noise", 10.0, dict(omega=0.4, z_omega=0.7),
+     dict(acc_noise=0.1, gyr_noise=0.005, acc_bias=0.05, gyr_bias=0.002), False, True),
+    ("loop-revisit", 14.0, dict(omega=0.5, z_omega=0.8),
+     dict(acc_noise=0.1, gyr_noise=0.005, acc_bias=0.05, gyr_bias=0.002), True, False),
+]
+
+
+def run_case(name, dur, tp, skw, loop, lines, seed=17):
+    params = synthetic.TrajectoryParams(**tp)
+    seq = synthetic.make_sequence(duration=dur, n_points=500, n_lines=40,
+                                  seed=seed, params=params, **skw)
+    cam = PinholeRadTan.create(F, F, W / 2, H / 2)
+    tmp = tempfile.mkdtemp()
+    render.write_euroc_dataset(seq, tmp, cam, H, W, max_frames=int(dur * 20),
+                               blob_sigma=3.0, style="textured")
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    cfg = PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=F, fy=F,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
+                            focal_length=F),
+        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(np.array(seq.p_bc))),
+        loop=LoopConfig(loop_closure=loop, min_loop_gap=40, max_keyframes=512),
+    )
+    ts, ps, qs, est, pg = run_euroc(tmp, cfg, use_lines=lines)
+    gt_t = np.asarray(seq.frame_t)
+    gt_p = np.asarray(seq.gt_p)
+    ate = ate_rmse(ts, ps, gt_t, gt_p, align="yaw")
+    rpe_t, rpe_r = rpe(ts, np.asarray(ps), gt_t, gt_p, est_q=np.asarray(qs),
+                       gt_q=np.asarray(seq.gt_q), delta=1.0)
+    gi = [np.argmin(np.abs(gt_t - t)) for t in ts]
+    d_est = np.sum(np.linalg.norm(np.diff(np.asarray(ps), axis=0), axis=1))
+    d_gt = np.sum(np.linalg.norm(np.diff(gt_p[gi], axis=0), axis=1))
+    loops = pg.loop_count if pg is not None else 0
+    return ate, rpe_t, rpe_r, d_est / d_gt, len(ts), loops
+
+
+def main():
+    print(f"| case | frames | ATE yaw [m] | RPE-1s [m] | RPE-1s [deg] | scale | loops |")
+    print(f"|---|---|---|---|---|---|---|")
+    for case in CASES:
+        ate, rpe_t, rpe_r, scale, nfr, loops = run_case(*case)
+        print(f"| {case[0]} | {nfr} | {ate:.3f} | {rpe_t:.3f} | {rpe_r:.2f} | {scale:.3f} | {loops} |",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
