@@ -28,9 +28,13 @@ from plslam.models import keyframe_db as kdb
 from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
 
 MAX_EDGES_SEQ = 5
-# above this keyframe capacity the dense (4K)² PGO Hessian (268 MB at the
-# default 2048) gives way to the matrix-free PCG solver
-_PCG_THRESHOLD = 768
+# Above this keyframe capacity the dense (4K)² PGO Hessian gives way to the
+# matrix-free PCG solver. Measured on v5e (16 GB HBM): dense at 2048 KF is
+# 268 MB and solves 12 GN iterations in 329 ms; the PCG path takes 3.2 s for
+# the same graph (12×96 SEQUENTIAL small matvecs — latency-bound on TPU), so
+# dense stays optimal far past the default 2048 capacity and PCG only pays
+# off where the Hessian itself stops fitting.
+_PCG_THRESHOLD = 6144
 
 
 def _rot_ypr(yaw, pitch, roll):
@@ -48,13 +52,19 @@ def _make_edge_system(xyz_shape_dtype, pitch, roll, e_i, e_j, e_t, e_yaw, e_w, e
              edge_system(xyz, yaw) -> (r, Jk) with Huber IRLS applied)."""
     dtype = xyz_shape_dtype
 
-    def edge_residual(xyz, yaw, k):
-        i = e_i[k]
-        j = e_j[k]
-        Ri = _rot_ypr(yaw[i], pitch[i], roll[i])
-        r_t = Ri.T @ (xyz[j] - xyz[i]) - e_t[k]
-        r_y = _wrap(yaw[j] - yaw[i] - e_yaw[k]) * (1.0 / yaw_scale)
+    def edge_residual_local(xi, yi, xj, yj, k):
+        """Residual from the GATHERED endpoint states — differentiating wrt
+        these 8 local dims keeps the per-edge jacfwd free of K-sized
+        intermediates (perturbing a scatter into the full [K] state made XLA
+        on TPU materialize an [E,K,3,8] tensor — 43 GB at the 2048-KF
+        capacity; XLA:CPU happened to optimize it away, hiding it)."""
+        Ri = _rot_ypr(yi, pitch[e_i[k]], roll[e_i[k]])
+        r_t = Ri.T @ (xj - xi) - e_t[k]
+        r_y = _wrap(yj - yi - e_yaw[k]) * (1.0 / yaw_scale)
         return jnp.concatenate([r_t, r_y[None]]) * e_w[k] * e_valid[k]
+
+    def edge_residual(xyz, yaw, k):
+        return edge_residual_local(xyz[e_i[k]], yaw[e_i[k]], xyz[e_j[k]], yaw[e_j[k]], k)
 
     def all_residuals(xyz, yaw):
         return jax.vmap(lambda k: edge_residual(xyz, yaw, k))(jnp.arange(e_i.shape[0]))
@@ -62,11 +72,9 @@ def _make_edge_system(xyz_shape_dtype, pitch, roll, e_i, e_j, e_t, e_yaw, e_w, e
     def edge_system(xyz, yaw):
         # per-edge jacobians wrt (xyz_i, yaw_i, xyz_j, yaw_j) via jacfwd
         def r_of(k, d):
-            di = d[0:4]
-            dj = d[4:8]
-            xyz_k = xyz.at[e_i[k]].add(di[0:3]).at[e_j[k]].add(dj[0:3])
-            yaw_k = yaw.at[e_i[k]].add(di[3]).at[e_j[k]].add(dj[3])
-            return edge_residual(xyz_k, yaw_k, k)
+            return edge_residual_local(
+                xyz[e_i[k]] + d[0:3], yaw[e_i[k]] + d[3],
+                xyz[e_j[k]] + d[4:7], yaw[e_j[k]] + d[7], k)
 
         zero8 = jnp.zeros((8,), dtype)
         r = all_residuals(xyz, yaw)  # [E,4]

@@ -228,9 +228,10 @@ def test_pcg_matches_dense_pgo():
 
 @pytest.mark.slow
 def test_pgo_full_capacity_2048():
-    """4-DoF PGO at the default 2048-keyframe capacity: the PCG path must
-    close a long drifting loop with bounded memory (the dense (4K)² Hessian
-    would be 268 MB — VERDICT r1 weak #3)."""
+    """4-DoF PGO at the default 2048-keyframe capacity must close a long
+    drifting loop. On-chip this takes the dense path (268 MB Hessian, 329 ms
+    on v5e — measured faster than PCG's sequential matvecs); the PCG path is
+    forced explicitly below to pin the beyond-capacity solver too."""
     n = 2000
     gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n, yaw_drift_total=0.2,
                                                       pos_drift_total=1.0)
@@ -242,6 +243,17 @@ def test_pgo_full_capacity_2048():
     g.edges.append(dict(i=0, j=n - 1, t=Ri.T @ (gt_p[n - 1] - gt_p[0]),
                         yaw=gt_yaw[n - 1] - gt_yaw[0], w=2.0, loop=1))
     err_before = np.linalg.norm(vio_p[n - 1] - gt_p[n - 1])
-    g.optimize(iters=15)  # capacity 2048 ≥ _PCG_THRESHOLD → PCG path
+    g.optimize(iters=15)
     err_after = np.linalg.norm(g.opt_p[n - 1] - gt_p[n - 1])
     assert err_after < err_before * 0.35, (err_before, err_after)
+
+    # beyond-capacity path: same graph through the matrix-free PCG solver
+    import plslam.models.pose_graph as pgm
+    old = pgm._PCG_THRESHOLD
+    try:
+        pgm._PCG_THRESHOLD = 512  # force PCG for this capacity
+        g.optimize(iters=15)
+        err_pcg = np.linalg.norm(g.opt_p[n - 1] - gt_p[n - 1])
+        assert err_pcg < err_before * 0.35, (err_before, err_pcg)
+    finally:
+        pgm._PCG_THRESHOLD = old
