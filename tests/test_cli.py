@@ -1,0 +1,60 @@
+"""CLI launcher (`python -m plslam`) — the roslaunch/evo analog."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from plslam.__main__ import main
+from plslam.eval.metrics import write_tum
+
+
+def _make_traj(n=60, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    ts = np.arange(n) * 0.1
+    ps = np.stack([np.cos(ts), np.sin(ts), 0.1 * ts], axis=1)
+    ps = ps + noise * rng.standard_normal(ps.shape)
+    qs = np.tile(np.array([1.0, 0, 0, 0]), (n, 1))
+    return ts, ps, qs
+
+
+def test_eval_subcommand(tmp_path, capsys):
+    ts, ps, qs = _make_traj()
+    gt = tmp_path / "gt.tum"
+    est = tmp_path / "est.tum"
+    write_tum(gt, ts, ps, qs)
+    # estimate = ground truth rotated by 30° yaw + shifted (pure gauge offset)
+    th = np.deg2rad(30)
+    R = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    write_tum(est, ts, ps @ R.T + np.array([5.0, -2.0, 0.3]), qs)
+    main(["eval", "--est", str(est), "--gt", str(gt)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ate_rmse_m"] < 1e-4  # yaw alignment removes the gauge offset
+    assert out["frames"] == 60
+
+
+def test_eval_against_euroc_gt_csv(tmp_path, capsys):
+    ts, ps, qs = _make_traj()
+    mav = tmp_path / "seq" / "mav0"
+    for sub in ("imu0", "cam0", "state_groundtruth_estimate0"):
+        os.makedirs(mav / sub)
+    with open(mav / "imu0" / "data.csv", "w") as fh:
+        fh.write("#t,wx,wy,wz,ax,ay,az\n")
+        for t in ts:
+            fh.write(f"{int(t*1e9)},0,0,0,0,0,9.81\n")
+    with open(mav / "cam0" / "data.csv", "w") as fh:
+        fh.write("#t,filename\n")
+    with open(mav / "state_groundtruth_estimate0" / "data.csv", "w") as fh:
+        fh.write("#t,px,py,pz,qw,qx,qy,qz,vx,vy,vz\n")
+        for t, p in zip(ts, ps):
+            fh.write(f"{int(t*1e9)},{p[0]},{p[1]},{p[2]},1,0,0,0,0,0,0\n")
+    est = tmp_path / "est.tum"
+    write_tum(est, ts, ps + 0.01, qs)
+    main(["eval", "--est", str(est), "--data", str(tmp_path / "seq")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ate_rmse_m"] < 0.02
+
+
+def test_run_requires_data():
+    with pytest.raises(SystemExit):
+        main(["run"])
