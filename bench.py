@@ -64,9 +64,7 @@ def main():
     # ------------------- point frontend tick (chained) ----------------------
     NLVL = fp.auto_levels((H, W))
 
-    @jax.jit
-    def pt_tick(pyr_prev, img_new, uv, valid):
-        pyr_new = fp.build_pyramid(img_new)
+    def _pt_core(pyr_prev, pyr_new, uv, valid):
         out, status = fp.lk_track_fast(pyr_prev, pyr_new, uv, valid)
         ok = (status > 0) & valid
         det_uv, det_sc = fp.shi_tomasi_grid(pyr_new[0], out, ok.astype(dtype),
@@ -77,10 +75,12 @@ def main():
         valid2 = ok | (det_sc[fill] > 1e-5)
         return tuple(pyr_new), uv2, valid2
 
-    # -------------------- line frontend tick (chained) ----------------------
     @jax.jit
-    def ln_tick(img, prev_segs, prev_desc, prev_valid):
-        k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+    def pt_tick(pyr_prev, img_new, uv, valid):
+        return _pt_core(pyr_prev, fp.build_pyramid(img_new), uv, valid)
+
+    # -------------------- line frontend tick (chained) ----------------------
+    def _ln_core(img, oct1, prev_segs, prev_desc, prev_valid):
         segs_o, score_o, valid_o = [], [], []
         cur = img
         for o in range(2):
@@ -90,7 +90,11 @@ def main():
             score_o.append(sc * float(2 ** o))
             valid_o.append(v)
             if o == 0:
-                cur = fp._sep_conv(cur, k5)[::2, ::2]
+                if oct1 is not None:
+                    cur = oct1  # share the point pyramid's level-1 image
+                else:
+                    k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+                    cur = fp._sep_conv(cur, k5)[::2, ::2]
         segs, score, valid = fl.merge_candidates(
             jnp.concatenate(segs_o), jnp.concatenate(score_o),
             jnp.concatenate(valid_o), max_out=MAX_LINES)
@@ -99,6 +103,10 @@ def main():
         match = fl.match_lbd(prev_desc, prev_segs, prev_valid, desc, segs,
                              valid.astype(img.dtype))
         return segs, desc, valid.astype(img.dtype), match
+
+    @jax.jit
+    def ln_tick(img, prev_segs, prev_desc, prev_valid):
+        return _ln_core(img, None, prev_segs, prev_desc, prev_valid)
 
     # ---------------- backend: window solve + marginalization ---------------
     cfg = SolverConfig(max_features=192, max_line_feats=64)
@@ -123,8 +131,11 @@ def main():
     # separate tick programs pay it three times; the fused program once)
     @jax.jit
     def full_tick(pyr_prev, img_new, uv, valid, ln_s, st, fac):
-        pt_out = pt_tick(pyr_prev, img_new, uv, valid)
-        ln_out = ln_tick(img_new, *ln_s)
+        pyr_new = fp.build_pyramid(img_new)
+        pt_out = _pt_core(pyr_prev, pyr_new, uv, valid)
+        # the line octave-1 image IS pyramid level 1 (same 5-tap binomial
+        # blur + decimate) — computed once, used by both frontends
+        ln_out = _ln_core(img_new, pyr_new[1], *ln_s)
         st_out, stats, prior = be_tick(st, fac)
         return pt_out, ln_out[:3], (st_out.p, prior.r0)
 

@@ -136,20 +136,19 @@ def detect_segments(mag, ang, edge, h: int, w: int, max_out: int = 96,
     onehot_T = jnp.transpose(
         (rbin[:, :, None] == jnp.arange(N_RHO)[None, None, :]).astype(dtype), (1, 2, 0))
 
-    def tile_hough(m, a):
-        # edge-pixel weights, orientation-gated per theta: a line at angle
-        # θ_line has gradient ⟂ to it → gradient angle ≈ θ (the normal)
-        pix_w = m.reshape(-1)  # [P]
-        pa = a.reshape(-1)
-        # orientation gate: gradient direction vs theta (mod pi)
-        dth = jnp.abs(((pa[:, None] - thetas[None, :]) + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
-        gate = (dth < (np.pi / N_THETA) * 1.5).astype(dtype)
-        wgt = pix_w[:, None] * gate  # [P,NT]
-        # acc[θ, r] = Σ_p 1[rbin(p,θ)=r]·wgt[p,θ]
-        acc = jax.lax.batch_matmul(onehot_T, wgt.T[:, :, None])[..., 0]  # [NT,NR]
-        return acc, wgt
-
-    acc, wgt_all = jax.vmap(tile_hough)(tile_mag, tile_ang)  # acc [T,NT,NR]
+    # edge-pixel weights, orientation-gated per theta: a line at angle
+    # θ_line has gradient ⟂ to it → gradient angle ≈ θ (the normal)
+    pix_w = tile_mag.reshape(T, -1)  # [T,P]
+    pa = tile_ang.reshape(T, -1)
+    # orientation gate: gradient direction vs theta (mod pi)
+    dth = jnp.abs(((pa[..., None] - thetas) + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
+    gate = (dth < (np.pi / N_THETA) * 1.5).astype(dtype)
+    wgt_all = pix_w[..., None] * gate  # [T,P,NT]
+    # acc[θ,r,t] = Σ_p 1[rbin(p,θ)=r]·wgt[t,p,θ] — ALL tiles ride the matmul
+    # N-dimension (a [NT,NR,P]@[NT,P,T] batched matmul instead of T matvecs:
+    # the matvec form left the MXU at N=1 utilization)
+    acc = jax.lax.batch_matmul(onehot_T, jnp.transpose(wgt_all, (2, 1, 0)))  # [NT,NR,T]
+    acc = jnp.transpose(acc, (2, 0, 1))  # [T,NT,NR]
 
     flat = acc.reshape(T, -1)
     top = jax.lax.top_k(flat, TOP_K)[1]  # [T,K]
@@ -326,10 +325,14 @@ class FrontendLines:
         self.prev = None  # (segs, desc, valid, ids)
         self.next_id = 0
 
-    def _detect_multiscale(self, img_j):
+    def _detect_multiscale(self, img_j, oct1=None):
         """Detect on an octave pyramid and merge (the reference's
         `LSDDetector::detect` scale loop): coarse octaves find long
-        low-contrast structure the fine octave splits or misses."""
+        low-contrast structure the fine octave splits or misses.
+
+        `oct1`: optional precomputed half-resolution image (the point
+        frontend's pyramid level 1 — same 5-tap binomial blur + decimate), so
+        the two frontends share one downsample per frame."""
         all_segs, all_scores, all_valid = [], [], []
         cur = img_j
         for o in range(self.octaves):
@@ -342,6 +345,9 @@ class FrontendLines:
             all_scores.append(score * s)
             all_valid.append(valid)
             if o + 1 < self.octaves:
+                if o == 0 and oct1 is not None:
+                    cur = jnp.asarray(oct1, img_j.dtype)
+                    continue
                 k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img_j.dtype) / 16.0
                 from plslam.models.frontend_points import _sep_conv
 
@@ -352,11 +358,12 @@ class FrontendLines:
         )
         return np.asarray(segs, np.float64), np.asarray(score), np.asarray(valid)
 
-    def process(self, img: np.ndarray, t: float):
-        """One frame tick. Returns (ids, normalized segments [n,4])."""
+    def process(self, img: np.ndarray, t: float, oct1=None):
+        """One frame tick. Returns (ids, normalized segments [n,4]).
+        `oct1`: optional shared half-res image (see `_detect_multiscale`)."""
         img_j = jnp.asarray(img, self.dtype)
         h, w = img.shape
-        segs, score, valid = self._detect_multiscale(img_j)
+        segs, score, valid = self._detect_multiscale(img_j, oct1)
         segs = jnp.asarray(segs, self.dtype)
         valid = jnp.asarray(valid)
         gx, gy = _scharr(img_j)

@@ -112,7 +112,9 @@ def run_euroc(
         ids, pts, vel, uv = fp.process(img, t)
         ln_ids = ln_segs = None
         if fLines is not None:
-            ln_ids, ln_segs = fLines.process(img, t)
+            # share the point pyramid's level-1 image as the line octave
+            oct1 = fp.prev_pyr[1] if fp.prev_pyr is not None and len(fp.prev_pyr) > 1 else None
+            ln_ids, ln_segs = fLines.process(img, t, oct1=oct1)
         if viz is not None:
             viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])
         if k % stride != 0:
