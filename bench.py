@@ -6,7 +6,8 @@ reference ran its backend at 10 solves/s real-time (40 ms Ceres budget) with
 work, chained like the streaming system (no independent-tick flattery):
 
   * point frontend (SURVEY.md §3.1): pyramid build + batched-matmul pyramidal
-    LK on the PREVIOUS tick's features + Shi-Tomasi grid detection, with
+    LK on the PREVIOUS tick's features + rejectWithF (undistort + batched
+    8-point RANSAC) + Shi-Tomasi grid detection + per-feature velocity, with
     detection feedback — dead tracks refill from fresh corners, and tick k's
     output features/pyramids are tick k+1's input,
   * line frontend (SURVEY.md §3.2): Scharr edge map + tiled-Hough segment
@@ -64,20 +65,32 @@ def main():
     # ------------------- point frontend tick (chained) ----------------------
     NLVL = fp.auto_levels((H, W))
 
-    def _pt_core(pyr_prev, pyr_new, uv, valid):
+    from plslam.ops.cameras import lift
+
+    F_TH = jnp.asarray(1.0 / 460.0, dtype)  # F_THRESHOLD=1px at FOCAL=460
+    base_key = jax.random.PRNGKey(42)
+
+    def _pt_core(pyr_prev, pyr_new, uv, valid, norm_prev, k):
         out, status = fp.lk_track_fast(pyr_prev, pyr_new, uv, valid)
         ok = (status > 0) & valid
+        # rejectWithF: undistort to normalized coords + 8-point RANSAC
+        norm = lift(cam, out)
+        inl = fp.fundamental_ransac(norm_prev, norm, ok, F_TH,
+                                    key=jax.random.fold_in(base_key, k))
+        ok = ok & inl
         det_uv, det_sc = fp.shi_tomasi_grid(pyr_new[0], out, ok.astype(dtype),
                                             cell=30, max_out=MAX_PTS)
         # detection feedback: dead slots refill from the freshest corners
         fill = jnp.clip(jnp.cumsum(~ok) - 1, 0, MAX_PTS - 1)
         uv2 = jnp.where(ok[:, None], out, det_uv[fill])
         valid2 = ok | (det_sc[fill] > 1e-5)
-        return tuple(pyr_new), uv2, valid2
+        norm2 = lift(cam, uv2)
+        vel = (norm2 - norm_prev) * 10.0 * ok[:, None]  # per-feature velocity
+        return tuple(pyr_new), uv2, valid2, norm2, vel
 
     @jax.jit
-    def pt_tick(pyr_prev, img_new, uv, valid):
-        return _pt_core(pyr_prev, fp.build_pyramid(img_new), uv, valid)
+    def pt_tick(pyr_prev, img_new, uv, valid, norm_prev, k):
+        return _pt_core(pyr_prev, fp.build_pyramid(img_new), uv, valid, norm_prev, k)
 
     # -------------------- line frontend tick (chained) ----------------------
     def _ln_core(img, oct1, prev_segs, prev_desc, prev_valid):
@@ -130,24 +143,25 @@ def main():
     # per-dispatch overhead through the device tunnel is ~1.7 ms — three
     # separate tick programs pay it three times; the fused program once)
     @jax.jit
-    def full_tick(pyr_prev, img_new, uv, valid, ln_s, st, fac):
+    def full_tick(pyr_prev, img_new, uv, valid, norm_prev, k, ln_s, st, fac):
         pyr_new = fp.build_pyramid(img_new)
-        pt_out = _pt_core(pyr_prev, pyr_new, uv, valid)
+        pt_out = _pt_core(pyr_prev, pyr_new, uv, valid, norm_prev, k)
         # the line octave-1 image IS pyramid level 1 (same 5-tap binomial
         # blur + decimate) — computed once, used by both frontends
         ln_out = _ln_core(img_new, pyr_new[1], *ln_s)
         st_out, stats, prior = be_tick(st, fac)
-        return pt_out, ln_out[:3], (st_out.p, prior.r0)
+        return pt_out[:4], ln_out[:3], (st_out.p, prior.r0, pt_out[4])
 
     # ------------------------------- warmup ---------------------------------
     uv0, sc0 = fp.shi_tomasi_grid(imgs[0], jnp.zeros((1, 2), dtype),
                                   jnp.zeros((1,), dtype), cell=30, max_out=MAX_PTS)
     pyr = fp.build_pyramid(imgs[0], levels=NLVL)
-    pt_state = (tuple(pyr), uv0, sc0 > 1e-5)
+    pt_state = (tuple(pyr), uv0, sc0 > 1e-5, lift(cam, uv0))
     ln_state = ln_tick(imgs[0], jnp.zeros((MAX_LINES, 4), dtype),
                        jnp.zeros((MAX_LINES, fl.N_BANDS * 8), dtype),
                        jnp.zeros((MAX_LINES,), dtype))[:3]
-    pt_state = pt_tick(pt_state[0], imgs[1], pt_state[1], pt_state[2])
+    k0 = jnp.zeros((), jnp.int32)
+    pt_state = pt_tick(pt_state[0], imgs[1], pt_state[1], pt_state[2], pt_state[3], k0)[:4]
     be_out = be_tick(state, f)
     jax.block_until_ready((pt_state, ln_state, be_out))
 
@@ -175,12 +189,13 @@ def main():
             img = jitter_img(imgs[i % N_IMGS], ks[i])
             if fused:
                 pt_state, ln_state, be_out = full_tick(
-                    pt_state[0], img, pt_state[1], pt_state[2], ln_state,
-                    jitter_state(state, ks[i]), f)
+                    pt_state[0], img, pt_state[1], pt_state[2], pt_state[3],
+                    ks[i], ln_state, jitter_state(state, ks[i]), f)
                 outs.append(be_out[1])
                 continue
             if do_pt:
-                pt_state = pt_tick(pt_state[0], img, pt_state[1], pt_state[2])
+                pt_state = pt_tick(pt_state[0], img, pt_state[1], pt_state[2],
+                                   pt_state[3], ks[i])[:4]
                 outs.append(pt_state[1])
             if do_ln:
                 s, d, v, m = ln_tick(img, *ln_state)
@@ -212,7 +227,7 @@ def main():
     print(
         f"# device={dev.platform} FUSED full-system tick={t_all*1e3:.1f}ms → {fps:.1f} fps "
         f"(3-program split: {t_split*1e3:.1f}ms)\n"
-        f"#   points={t_pt*1e3:.1f}ms ({n_trk}/{MAX_PTS} live, LK+detect+feedback 752x480)\n"
+        f"#   points={t_pt*1e3:.1f}ms ({n_trk}/{MAX_PTS} live, LK+RANSAC+detect+velocity 752x480)\n"
         f"#   lines={t_ln*1e3:.1f}ms (2-octave Hough + LBD + match, {MAX_LINES} cap)\n"
         f"#   backend={t_be*1e3:.1f}ms (11 kf, {n_pts} pts, {n_lns} lines, 8-iter LM + marg) "
         f"solve_cost {float(stats.cost0):.2e}→{float(stats.cost):.2e}",
@@ -221,8 +236,8 @@ def main():
     print(json.dumps({
         "metric": "frontend_plus_ba_fps",
         "value": round(fps, 2),
-        "unit": "frames/s single chip (chained: LK+detect + 2-octave lines+LBD+match "
-                "+ 8-iter LM/Schur + marginalization, 752x480)",
+        "unit": "frames/s single chip (chained: LK+RANSAC+detect + 2-octave "
+                "lines+LBD+match + 8-iter LM/Schur + marginalization, 752x480)",
         "vs_baseline": round(fps / 10.0, 2),
     }))
 
