@@ -595,6 +595,14 @@ class Estimator:
         k = self.cfg.window_size if self.initialized else max(min(self.frame_count, self.cfg.window_size) - 1, 0)
         return self.timestamps[k], self.p[k].copy(), self.q[k].copy()
 
+    def imu_rate_pose(self):
+        """IMU-rate propagated odometry — the newest slot as dead-reckoned by
+        `process_imu` between solves (the reference's `predict()` →
+        `pubLatestOdometry` high-rate output, SURVEY.md §2.3). Returns
+        (p, q, v)."""
+        k = min(self.frame_count, self.cfg.window_size)
+        return self.p[k].copy(), self.q[k].copy(), self.v[k].copy()
+
 
 def _preintegrate_padded(acc, gyr, dts, ba, bg, noise):
     pre = _preint_jit(acc, gyr, dts, ba, bg, noise)

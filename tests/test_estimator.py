@@ -30,6 +30,12 @@ def test_vio_oracle_init_points_lines(seq):
     assert len(ts) > 30
     ate = _ate(seq, ts, ps)
     assert ate < 0.05, f"ATE {ate:.4f} m"
+    # IMU-rate propagated odometry (predict()/pubLatestOdometry analog):
+    # the dead-reckoned newest slot must sit near the last solved pose
+    p_hi, q_hi, v_hi = est.imu_rate_pose()
+    _, p_kf, _ = est.latest_pose()
+    assert np.linalg.norm(p_hi - p_kf) < 0.2
+    assert np.isfinite(v_hi).all()
 
 
 def test_vio_with_pixel_noise(seq):
