@@ -30,11 +30,14 @@ H, W, F = 480, 752, 460.0
 
 CASES = [
     # name, duration, trajectory params, sequence kwargs, loop closure, lines
-    ("gentle-arc", 8.0, dict(omega=0.3, z_omega=0.6), dict(), False, True),
-    ("fast-circle", 8.0, dict(omega=0.5, z_omega=0.8), dict(), False, True),
-    ("imu-noise", 10.0, dict(omega=0.4, z_omega=0.7),
+    # wiggle_amp = EuRoC-style initialization-excitation preamble (every EuRoC
+    # sequence starts with the pilot exciting the IMU; monocular VIO scale /
+    # gravity need acceleration variation at init — see TrajectoryParams)
+    ("gentle-arc", 8.0, dict(omega=0.3, z_omega=0.6, wiggle_amp=0.15), dict(), False, True),
+    ("fast-circle", 8.0, dict(omega=0.5, z_omega=0.8, wiggle_amp=0.15), dict(), False, True),
+    ("imu-noise", 10.0, dict(omega=0.4, z_omega=0.7, wiggle_amp=0.15),
      dict(acc_noise=0.1, gyr_noise=0.005, acc_bias=0.05, gyr_bias=0.002), False, True),
-    ("loop-revisit", 14.0, dict(omega=0.5, z_omega=0.8),
+    ("loop-revisit", 14.0, dict(omega=0.5, z_omega=0.8, wiggle_amp=0.15),
      dict(acc_noise=0.1, gyr_noise=0.005, acc_bias=0.05, gyr_bias=0.002), True, False),
 ]
 
@@ -63,11 +66,15 @@ def run_case(name, dur, tp, skw, loop, lines, seed=17):
     ate = ate_rmse(ts, ps, gt_t, gt_p, align="yaw")
     rpe_t, rpe_r = rpe(ts, np.asarray(ps), gt_t, gt_p, est_q=np.asarray(qs),
                        gt_q=np.asarray(seq.gt_q), delta=1.0)
-    gi = [np.argmin(np.abs(gt_t - t)) for t in ts]
-    d_est = np.sum(np.linalg.norm(np.diff(np.asarray(ps), axis=0), axis=1))
-    d_gt = np.sum(np.linalg.norm(np.diff(gt_p[gi], axis=0), axis=1))
+    # true metric scale via Umeyama sim3: s maps est→gt, so est/gt scale = 1/s
+    # (a path-length ratio would conflate jitter with scale — noise always
+    # inflates path length)
+    from plslam.eval.metrics import associate, umeyama_alignment
+
+    pa, ga = associate(ts, np.asarray(ps), gt_t, gt_p)
+    s_ug, _, _ = umeyama_alignment(pa, ga, with_scale=True)
     loops = pg.loop_count if pg is not None else 0
-    return ate, rpe_t, rpe_r, d_est / d_gt, len(ts), loops
+    return ate, rpe_t, rpe_r, 1.0 / s_ug, len(ts), loops
 
 
 def main():

@@ -33,7 +33,7 @@ H, W, F = 480, 752, 460.0
 
 
 def main(duration=150.0):
-    params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8)
+    params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8, wiggle_amp=0.15)
     seq = synthetic.make_sequence(
         duration=duration, n_points=500, n_lines=40, seed=23, params=params,
         acc_noise=0.1, gyr_noise=0.005, acc_bias=0.05, gyr_bias=0.002,

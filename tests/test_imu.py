@@ -72,3 +72,20 @@ def test_dt_sum(seq):
     np.testing.assert_allclose(
         float(pre.dt_sum), float(seq.frame_t[2] - seq.frame_t[0]), atol=1e-9
     )
+
+
+def test_wiggle_preamble_imu_consistent():
+    """The initialization-excitation preamble (TrajectoryParams.wiggle_amp)
+    must produce IMU samples exactly consistent with its ground-truth poses:
+    the preintegrated IMU residual at GT states stays ~0 through the wiggle."""
+    params = synthetic.TrajectoryParams(omega=0.3, wiggle_amp=0.2)
+    wseq = synthetic.make_sequence(duration=2.0, n_points=8, n_lines=0, seed=2,
+                                   params=params)
+    g = jnp.asarray(synthetic.G_WORLD)
+    for k0, k1 in [(0, 2), (8, 10), (20, 24)]:
+        pre = preint_between(wseq, k0, k1)
+        p0, q0, v0 = frame_states(wseq, k0)
+        p1, q1, v1 = frame_states(wseq, k1)
+        z3 = jnp.zeros(3)
+        r = imu_ops.imu_residual(p0, q0, v0, z3, z3, p1, q1, v1, z3, z3, pre, g)
+        assert float(jnp.max(jnp.abs(r[:9]))) < 2e-3, (k0, k1, np.asarray(r))
