@@ -58,3 +58,54 @@ def test_eval_against_euroc_gt_csv(tmp_path, capsys):
 def test_run_requires_data():
     with pytest.raises(SystemExit):
         main(["run"])
+
+
+def test_run_subcommand_on_rendered_dataset(tmp_path, capsys):
+    """`python -m plslam run` end-to-end on a small rendered ASL dataset."""
+    from plslam.io import render, synthetic
+    from plslam.ops.cameras import PinholeRadTan
+    from plslam.utils.geometry import quat_to_rot
+
+    H, W, F = 240, 376, 160.0
+    seq = synthetic.make_sequence(duration=4.0, n_points=300, n_lines=0, seed=5,
+                                  params=synthetic.TrajectoryParams(wiggle_amp=0.1))
+    cam = PinholeRadTan.create(F, F, W / 2, H / 2)
+    render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=60,
+                               blob_sigma=2.0, style="textured")
+    R_bc = np.array(quat_to_rot(seq.q_bc)).reshape(-1)
+    p_bc = np.array(seq.p_bc)
+    yaml_path = tmp_path / "cfg.yaml"
+    yaml_path.write_text(
+        f"""%YAML:1.0
+image_width: {W}
+image_height: {H}
+projection_parameters:
+   fx: {F}
+   fy: {F}
+   cx: {W/2}
+   cy: {H/2}
+max_cnt: 80
+min_dist: 20
+min_score: 0.002
+equalize: 1
+loop_closure: 0
+extrinsicRotation: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [{", ".join(f"{v:.9f}" for v in R_bc)}]
+extrinsicTranslation: !!opencv-matrix
+   rows: 3
+   cols: 1
+   dt: d
+   data: [{", ".join(f"{v:.9f}" for v in p_bc)}]
+""")
+    out = tmp_path / "out"
+    main(["run", "--data", str(tmp_path), "--config", str(yaml_path),
+          "--output", str(out), "--no-lines", "--max-frames", "25", "--quiet"])
+    traj = out / "traj_vio.tum"
+    assert traj.exists()
+    body = np.loadtxt(traj)
+    assert body.ndim == 2 and body.shape[1] == 8 and len(body) > 5
+    score = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(score["ate_rmse_m"])
