@@ -207,6 +207,47 @@ def main():
         jax.block_until_ready(outs)
         return (time.time() - t0) / n
 
+    # ------------- burst mode: B chained ticks in ONE XLA program -----------
+    # `lax.scan` over full ticks — the offline/eval deployment shape (EuRoC
+    # replay is offline). Per-frame work is IDENTICAL to the streaming tick
+    # and stays chained (pt/ln state through the scan carry; the backend
+    # input is perturbed by the PREVIOUS step's solution so XLA cannot hoist
+    # the solve out of the loop); only the ~1.5 ms/program dispatch through
+    # the TPU tunnel amortizes to ~0.
+    BURST = 16
+    imgs_stack = jnp.stack(imgs + imgs)  # [16,H,W]
+
+    def burst_step(carry, inp):
+        pyr, uv, valid, norm, ln_s, fb = carry
+        img, k = inp
+        img = img + 1e-4 * jnp.sin(k.astype(img.dtype))
+        pyr_new = fp.build_pyramid(img)
+        pt_out = _pt_core(pyr, pyr_new, uv, valid, norm, k)
+        ln_out = _ln_core(img, pyr_new[1], *ln_s)
+        st_in = jitter_state(state, k)._replace(
+            p=state.p + 1e-9 * fb)  # serial dependency on step k-1's solve
+        st_out, stats, prior = be_tick(st_in, f)
+        carry = (pt_out[0], pt_out[1], pt_out[2], pt_out[3], ln_out[:3], st_out.p)
+        return carry, stats.cost
+
+    @jax.jit
+    def burst(carry0, ks):
+        return jax.lax.scan(burst_step, carry0, (imgs_stack, ks))
+
+    def stream_burst(n_bursts):
+        nonlocal pt_state, ln_state
+        carry = (*pt_state, ln_state, state.p)
+        outs = []
+        kss = [jax.device_put(jnp.arange(i * BURST, (i + 1) * BURST, dtype=jnp.int32), dev)
+               for i in range(n_bursts)]
+        t0 = time.time()
+        for i in range(n_bursts):
+            carry, costs = burst(carry, kss[i])
+            outs.append(costs)
+        jax.block_until_ready(outs)
+        pt_state, ln_state = carry[:4], carry[4]
+        return (time.time() - t0) / (n_bursts * BURST)
+
     # steady-state warmup: the TPU tunnel amortizes per-program overhead over
     # the first ~25 invocations of each executable (measured: the line tick
     # drops 265 → 6.7 ms between its 1st and 25th call); measure AFTER that
@@ -215,6 +256,8 @@ def main():
     n_meas = 48
     t_all = stream(n_meas, fused=True)
     t_split = stream(24)
+    stream_burst(4)
+    t_burst = stream_burst(4)
     t_pt = stream(24, do_ln=False, do_be=False)
     t_ln = stream(24, do_pt=False, do_be=False)
     t_be = stream(24, do_pt=False, do_ln=False)
@@ -226,11 +269,12 @@ def main():
     n_trk = int(np.asarray(jnp.sum(pt_state[2])))
     print(
         f"# device={dev.platform} FUSED full-system tick={t_all*1e3:.1f}ms → {fps:.1f} fps "
-        f"(3-program split: {t_split*1e3:.1f}ms)\n"
+        f"(3-program split: {t_split*1e3:.1f}ms; {BURST}-frame on-device scan "
+        f"burst: {t_burst*1e3:.1f}ms/frame → {1.0/t_burst:.1f} fps offline)\n"
         f"#   points={t_pt*1e3:.1f}ms ({n_trk}/{MAX_PTS} live, LK+RANSAC+detect+velocity 752x480)\n"
         f"#   lines={t_ln*1e3:.1f}ms (2-octave Hough + LBD + match, {MAX_LINES} cap)\n"
         f"#   backend={t_be*1e3:.1f}ms (11 kf, {n_pts} pts, {n_lns} lines, 8-iter LM + marg) "
-        f"solve_cost {float(stats.cost0):.2e}→{float(stats.cost):.2e}",
+        f"robust_cost {float(stats.cost_robust0):.2e}→{float(stats.cost_robust):.2e}",
         file=sys.stderr,
     )
     print(json.dumps({

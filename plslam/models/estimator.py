@@ -255,6 +255,8 @@ class Estimator:
         stats = self._optimize()
         m.update(
             cost0=float(stats.cost0), cost=float(stats.cost),
+            cost_robust0=float(stats.cost_robust0),
+            cost_robust=float(stats.cost_robust),
             iters_accepted=int(stats.accepted),
             n_pts=int(self.pt_table.used_in_solver().sum()),
             n_lines=int(self.ln_table.usable().sum()),

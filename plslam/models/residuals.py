@@ -335,6 +335,22 @@ def weights_of_groups(groups, cauchy_c: float):
     return pt_w, ln_w, relo_w
 
 
+def robust_cost_of_groups(groups, cauchy_c: float):
+    """The TRUE robust objective at `groups` (weight-free, comparable across
+    iterations — unlike the IRLS-weighted squared cost, whose weights change
+    every iteration): ½‖r_prior‖² + ½‖r_imu‖² + ½Σ ρ(‖r‖²) with Cauchy
+    ρ(s) = c²·log(1+s/c²) on the vision terms — exactly Ceres' total cost."""
+    r_pr, r_imu, r_pt, r_ln, r_relo = groups
+    c2 = cauchy_c * cauchy_c
+    rho = lambda r2: c2 * jnp.log1p(r2 / c2)
+    return 0.5 * (
+        jnp.sum(r_pr * r_pr) + jnp.sum(r_imu * r_imu)
+        + jnp.sum(rho(jnp.sum(r_pt * r_pt, axis=-1)))
+        + jnp.sum(rho(jnp.sum(r_ln * r_ln, axis=-1)))
+        + jnp.sum(rho(jnp.sum(r_relo * r_relo, axis=-1)))
+    )
+
+
 def stack_of_groups(groups, pt_w, ln_w, relo_w):
     """Weighted residual stack from unweighted groups (same layout as
     `residual_stack`)."""

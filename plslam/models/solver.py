@@ -37,6 +37,11 @@ class SolveStats(NamedTuple):
     cost: jnp.ndarray
     lam: jnp.ndarray
     accepted: jnp.ndarray  # number of accepted steps
+    # the true (weight-free) Cauchy objective before/after — comparable
+    # across iterations, unlike the IRLS-weighted cost0/cost whose weights
+    # are re-derived each iteration (Ceres' Summary initial/final_cost)
+    cost_robust0: jnp.ndarray = jnp.nan
+    cost_robust: jnp.ndarray = jnp.nan
 
 
 def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
@@ -81,15 +86,17 @@ def linearize_blocks(state, f, lay: TangentLayout, focal, pt_w, ln_w, mask,
     The full-tangent `jacfwd` (D ≈ DC + MF + 4·ML ≈ 700 directional
     derivatives of the whole stack) wastes > 3/4 of its tangents on landmark
     dims whose jacobian is SLOT-DIAGONAL: residual slot (feature f, frame j)
-    depends only on λ_f (and line slot only on its own 4 orth dims). So:
-
-      * camera dims: one jacfwd over the DC ≈ 164 camera tangents,
-      * depth column: ONE jvp along the all-ones depth tangent (each slot
-        reads off ∂r/∂λ_f exactly — no other depth reaches it),
-      * line columns: four jvps (one per orth component),
-      * normal-equation blocks (H_cc, B_d, d, B_l, C_b, b) assembled by
-        einsum directly in the Schur block layout — no scatters, no dense
-        [D,D] H.
+    depends only on λ_f (and line slot only on its own 4 orth dims). So the
+    tangent space is compressed to DC+5 directions — the DC camera dims plus
+    5 *structured* landmark directions (the all-depths direction, in which
+    each point slot reads off exactly ∂r/∂λ_f, and one direction per line
+    orth component) — and ONE jacfwd over the whole stack yields J_cam AND
+    both landmark jacobians as columns. (A previous version ran 1 jacfwd + 5
+    separate jvps; the window solve is op-latency-bound on TPU, and folding
+    all directions into one differentiation graph cut the per-iteration op
+    count.) Normal-equation blocks (H_cc, B_d, d, B_l, C_b, b) are then
+    assembled by einsum directly in the Schur block layout — no scatters, no
+    dense [D,D] H.
 
     Returns (r0, J_cam [N,DC], blocks) with blocks =
     (B_d [DC,MF], d [MF], b_d [MF], B_l [DC,ML,4], Cb [ML,4,4], b_l [ML,4]).
@@ -101,46 +108,32 @@ def linearize_blocks(state, f, lay: TangentLayout, focal, pt_w, ln_w, mask,
     mask_d = mask[DC : DC + MF]
     mask_l = mask[DC + MF :].reshape(ML, 4)
 
-    def r_cam(dc):
-        delta = jnp.zeros((lay.dim,), dtype).at[:DC].set(dc * mask_c)
+    def r_ext(de):
+        # de[:DC] camera dims; de[DC] common depth direction; de[DC+1+k]
+        # common line-orth-component-k direction
+        delta = jnp.concatenate([
+            de[:DC] * mask_c,
+            de[DC] * mask_d,
+            (de[DC + 1 :][None, :] * mask_l).reshape(-1),
+        ])
         return res.residual_stack(retract(state, delta, lay), f, lay, focal,
                                   pt_w, ln_w, relo_w, line_param)
 
-    zero_c = jnp.zeros((DC,), dtype)
-    r0 = r_cam(zero_c)
-    J_cam = jax.jacfwd(r_cam)(zero_c)  # [N,DC]
-
-    def r_vis_depth(dd):
-        delta = jnp.zeros((lay.dim,), dtype).at[DC : DC + MF].set(dd * mask_d)
-        st = retract(state, delta, lay)
-        r_pt = res.point_residuals(st, f, focal)
-        if pt_w is not None:
-            r_pt = r_pt * pt_w[..., None]
-        r_re = res.relo_residuals(st, f, focal)
-        if relo_w is not None:
-            r_re = r_re * relo_w[:, None]
-        return r_pt, r_re
-
-    _, (Jd_pt, Jd_re) = jax.jvp(r_vis_depth, (jnp.zeros((MF,), dtype),),
-                                (jnp.ones((MF,), dtype),))  # [MF,NW,2],[MF,2]
-
-    def r_lines(dl):
-        delta = jnp.zeros((lay.dim,), dtype).at[DC + MF :].set((dl * mask_l).reshape(-1))
-        st = retract(state, delta, lay)
-        r_ln = res.line_residuals(st, f, focal, line_param)
-        return r_ln * ln_w[..., None] if ln_w is not None else r_ln
-
-    zero_l = jnp.zeros((ML, 4), dtype)
-    Jl = []
-    for k in range(4):
-        _, Jk = jax.jvp(r_lines, (zero_l,), (zero_l.at[:, k].set(1.0),))
-        Jl.append(Jk)
-    J_ln = jnp.stack(Jl, axis=-1)  # [ML,NW,2,4]
+    zero_e = jnp.zeros((DC + 5,), dtype)
+    r0 = r_ext(zero_e)
+    J_ext = jax.jacfwd(r_ext)(zero_e)  # [N,DC+5]
+    J_cam = J_ext[:, :DC]
 
     # residual-stack row layout: [prior DC | imu W·15 | pt MF·NW·2 | ln ML·NW·2 | relo MF·2]
     o_pt = DC + W * 15
     o_ln = o_pt + MF * NW * 2
     o_re = o_ln + ML * NW * 2
+    # landmark columns: slot-diagonal structure makes the compressed
+    # directions exact — point rows only ever see their own λ_f, line rows
+    # their own 4 orth dims; IMU/prior rows are zero in these columns.
+    Jd_pt = J_ext[o_pt:o_ln, DC].reshape(MF, NW, 2)
+    Jd_re = J_ext[o_re:, DC].reshape(MF, 2)
+    J_ln = J_ext[o_ln:o_re, DC + 1 :].reshape(ML, NW, 2, 4)
     Jc_pt = J_cam[o_pt:o_ln].reshape(MF, NW, 2, DC)
     Jc_ln = J_cam[o_ln:o_re].reshape(ML, NW, 2, DC)
     Jc_re = J_cam[o_re:].reshape(MF, 2, DC)
@@ -333,11 +326,14 @@ def optimize_window(
         return (state, groups, lam, cost, naccept + accept.astype(jnp.int32))
 
     lam0 = jnp.asarray(cfg.lm_lambda_init, state.p.dtype)
-    state_out, _, lam, cost, naccept = jax.lax.fori_loop(
+    state_out, groups_out, lam, cost, naccept = jax.lax.fori_loop(
         0, num_iters, step, (state, groups0, lam0, cost0, jnp.zeros((), jnp.int32))
     )
     state_out = reanchor(state_out, state, line_param=lp)
-    return state_out, SolveStats(cost0=cost0, cost=cost, lam=lam, accepted=naccept)
+    return state_out, SolveStats(
+        cost0=cost0, cost=cost, lam=lam, accepted=naccept,
+        cost_robust0=res.robust_cost_of_groups(groups0, cfg.cauchy_c),
+        cost_robust=res.robust_cost_of_groups(groups_out, cfg.cauchy_c))
 
 
 def reanchor(state_new: WindowState, state_ref: WindowState,
