@@ -136,7 +136,9 @@ def main():
     @jax.jit
     def be_tick(st, fac):
         st_out, stats = solver.optimize_window(st, fac, lay, cfg, num_iters=8)
-        prior = marg.marginalize_old(st_out, fac, lay, cfg)
+        # the solve's carried final residuals feed marginalization's IRLS
+        # weights — one residual-stack evaluation saved per frame
+        prior = marg.marginalize_old(st_out, fac, lay, cfg, groups=stats.groups)
         return st_out, stats, prior
 
     # the deployment shape: ONE XLA program per frame (the measured

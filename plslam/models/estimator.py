@@ -132,6 +132,7 @@ class Estimator:
         self.metrics: list[dict] = []
         self._last_factors = None
         self._last_state = None
+        self._last_groups = None
         self.relo: Optional[dict] = None  # pending relocalization frame
         self.relo_result: Optional[dict] = None  # refined relative pose out
 
@@ -481,6 +482,7 @@ class Estimator:
         self._writeback(st_out)
         self._last_factors = f
         self._last_state = st_out
+        self._last_groups = stats.groups  # reused by marginalize_old's IRLS weights
         if self.relo is not None:
             self._extract_relo_result(st_out)
         return stats
@@ -518,7 +520,8 @@ class Estimator:
         f = self._last_factors
         nw = self.cfg.window_size
         if flag == MARGIN_OLD:
-            self.prior = marg.marginalize_old(st, f, self.lay, self.cfg)
+            self.prior = marg.marginalize_old(
+                st, f, self.lay, self.cfg, groups=getattr(self, "_last_groups", None))
             p_wc, q_wc = self._cam_poses_np()
             old0_p, old0_q = p_wc[0].copy(), q_wc[0].copy()
             self._roll_states()

@@ -142,13 +142,23 @@ def detect_segments(mag, ang, edge, h: int, w: int, max_out: int = 96,
     pa = tile_ang.reshape(T, -1)
     # orientation gate: gradient direction vs theta (mod pi)
     dth = jnp.abs(((pa[..., None] - thetas) + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
-    gate = (dth < (np.pi / N_THETA) * 1.5).astype(dtype)
-    wgt_all = pix_w[..., None] * gate  # [T,P,NT]
+    gate = dth < (np.pi / N_THETA) * 1.5
+    # the [T,P,NT] gated-weight tensor is the detector's one big HBM
+    # intermediate (~71 MB at 752×480 in f32) — it lives in bfloat16: peak
+    # SELECTION only needs ~0.4 % relative score accuracy, the downstream
+    # uses are a (>0) support mask and sums re-accumulated in f32
+    mm_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
+    wgt_all = pix_w.astype(mm_dtype)[..., None] * gate.astype(mm_dtype)  # [T,P,NT]
     # acc[θ,r,t] = Σ_p 1[rbin(p,θ)=r]·wgt[t,p,θ] — ALL tiles ride the matmul
     # N-dimension (a [NT,NR,P]@[NT,P,T] batched matmul instead of T matvecs:
-    # the matvec form left the MXU at N=1 utilization)
-    acc = jax.lax.batch_matmul(onehot_T, jnp.transpose(wgt_all, (2, 1, 0)))  # [NT,NR,T]
-    acc = jnp.transpose(acc, (2, 0, 1))  # [T,NT,NR]
+    # the matvec form left the MXU at N=1 utilization), bf16 in / f32 out
+    acc = jax.lax.dot_general(
+        onehot_T.astype(mm_dtype),
+        jnp.transpose(wgt_all, (2, 1, 0)),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype,
+    )  # [NT,NR,T]
+    acc = jnp.transpose(acc, (2, 0, 1)).astype(dtype)  # [T,NT,NR]
 
     flat = acc.reshape(T, -1)
     top = jax.lax.top_k(flat, TOP_K)[1]  # [T,K]
@@ -167,7 +177,7 @@ def detect_segments(mag, ang, edge, h: int, w: int, max_out: int = 96,
             sup_cnt = jnp.sum(sup > 0)  # supporting edge-pixel count
             # extent along the line direction (-s, c)
             tpos = -xc.reshape(-1) * s + yc.reshape(-1) * c
-            wsum = jnp.sum(sup)
+            wsum = jnp.sum(sup.astype(dtype))  # f32 accumulation of bf16 weights
             big = 1e9
             tmin = jnp.min(jnp.where(sup > 0, tpos, big))
             tmax = jnp.max(jnp.where(sup > 0, tpos, -big))

@@ -97,10 +97,17 @@ def _marg_factor_subset(f: res.WindowFactors) -> res.WindowFactors:
 
 @partial(jax.jit, static_argnames=("lay", "cfg"))
 def marginalize_old(
-    state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig
+    state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
+    groups: tuple = None,
 ) -> Prior:
     """MARGIN_OLD: absorb frame 0 (pose+speedbias) and its landmarks into a
-    new linear prior, already re-indexed for the subsequent window shift."""
+    new linear prior, already re-indexed for the subsequent window shift.
+
+    `groups`: optional unweighted residual groups at `state`
+    (`SolveStats.groups` from the solve that produced it) — reuses that
+    evaluation for the IRLS weights instead of re-running the residual stack
+    (the vision residuals are gauge-invariant, so the solver's pre-reanchor
+    carry is exact here)."""
     from plslam.models.solver import linearize_blocks
 
     focal = cfg.focal_length
@@ -109,7 +116,10 @@ def marginalize_old(
     if lp != "world":
         # callers hold world-frame lines; marginalize in the configured chart
         state = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
-    pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
+    if groups:
+        pt_w, ln_w, _ = res.weights_of_groups(groups, cfg.cauchy_c)
+    else:
+        pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)
     DC, MF, ML = lay.dim_cam, lay.max_f, lay.max_l
 
     # structured linearization of the marginal factor subset (same fast path
@@ -157,18 +167,20 @@ def marginalize_old(
     H_new_k = H_kk - H_dk.T @ H_dd_inv @ H_dk
     b_new_k = b_k - H_dk.T @ H_dd_inv @ b_d
 
-    # 3) scatter back to DC dims (frame-0 slots zero) and apply the shift perm
+    # 3) √-refactor the KEPT block only (DC−15 dims — the dropped frame-0
+    #    rows/cols are exactly zero, so eigh over the full DC wastes ~25 % of
+    #    an O(n³) factorization), then scatter into DC dims and apply the
+    #    shift perm to the COLUMNS (rows of J0 are an arbitrary basis:
+    #    (J0[:,perm])ᵀ(J0[:,perm]) = H[perm][:,perm])
     DC = lay.dim_cam
-    H_full = jnp.zeros((DC, DC), H_c.dtype).at[jnp.ix_(keep, keep)].set(H_new_k)
-    b_full = jnp.zeros((DC,), H_c.dtype).at[keep].set(b_new_k)
+    J0k, r0k = _sqrt_refactor(H_new_k, b_new_k, eps)
+    J0 = jnp.zeros((DC, DC), H_c.dtype).at[jnp.ix_(keep, keep)].set(J0k)
+    r0p = jnp.zeros((DC,), H_c.dtype).at[keep].set(r0k)
     perm = _shift_perm(lay)
-    H_full = H_full[perm][:, perm]
-    b_full = b_full[perm]
     sc_perm = sc[:DC][perm]
 
-    # 4) √-refactor into (J0, r0); un-scale J0's columns back to tangent units
-    J0, r0p = _sqrt_refactor(H_full, b_full, eps)
-    J0 = J0 * (1.0 / sc_perm)[None, :]
+    # 4) un-scale J0's columns back to tangent units
+    J0 = J0[:, perm] * (1.0 / sc_perm)[None, :]
 
     # 5) snapshot = current state shifted like the window will be
     roll = lambda a: jnp.concatenate([a[1:], a[:1]], axis=0)
@@ -207,9 +219,9 @@ def marginalize_second_new(
     b_kk = b[keep] - H_dk.T @ H_dd_inv @ b[drop]
 
     DC = lay.dim_cam
-    H_full = jnp.zeros((DC, DC), H.dtype).at[jnp.ix_(keep, keep)].set(H_kk)
-    b_full = jnp.zeros((DC,), H.dtype).at[keep].set(b_kk)
-    J0, r0p = _sqrt_refactor(H_full, b_full, eps)
+    J0k, r0k = _sqrt_refactor(H_kk, b_kk, eps)  # kept block only (see MARGIN_OLD)
+    J0 = jnp.zeros((DC, DC), H.dtype).at[jnp.ix_(keep, keep)].set(J0k)
+    r0p = jnp.zeros((DC,), H.dtype).at[keep].set(r0k)
     J0 = J0 * (1.0 / sc)[None, :]
     return Prior(
         J=J0, r0=r0p, valid=f.prior_valid,

@@ -42,6 +42,10 @@ class SolveStats(NamedTuple):
     # are re-derived each iteration (Ceres' Summary initial/final_cost)
     cost_robust0: jnp.ndarray = jnp.nan
     cost_robust: jnp.ndarray = jnp.nan
+    # unweighted residual groups at the FINAL state (the LM carry — free):
+    # callers hand them to `marginalize_old(..., groups=…)` so the IRLS
+    # weights there reuse this evaluation instead of re-running the stack
+    groups: tuple = ()
 
 
 def free_mask(f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
@@ -333,7 +337,8 @@ def optimize_window(
     return state_out, SolveStats(
         cost0=cost0, cost=cost, lam=lam, accepted=naccept,
         cost_robust0=res.robust_cost_of_groups(groups0, cfg.cauchy_c),
-        cost_robust=res.robust_cost_of_groups(groups_out, cfg.cauchy_c))
+        cost_robust=res.robust_cost_of_groups(groups_out, cfg.cauchy_c),
+        groups=groups_out)
 
 
 def reanchor(state_new: WindowState, state_ref: WindowState,

@@ -74,3 +74,18 @@ def test_prior_keeps_information(window):
     w = np.linalg.eigvalsh(blk)
     assert w.max() > 1.0  # information present
     assert w.min() > -1e-6  # PSD
+
+
+def test_marginalize_old_with_solver_groups_is_exact(window):
+    """The groups-reuse fast path (`marginalize_old(..., groups=stats.groups)`)
+    must be bit-equal to the self-computed-weights path: the solver's carried
+    final residuals ARE the residuals at the post-solve state (vision terms
+    are gauge-invariant under the post-solve reanchor)."""
+    from plslam.models import solver
+
+    state, f = window
+    st_out, stats = solver.optimize_window(state, f, LAY, CFG, num_iters=2)
+    p_ref = marg.marginalize_old(st_out, f, LAY, CFG)
+    p_fast = marg.marginalize_old(st_out, f, LAY, CFG, groups=stats.groups)
+    np.testing.assert_allclose(np.asarray(p_fast.J), np.asarray(p_ref.J), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_fast.r0), np.asarray(p_ref.r0), atol=1e-6)
