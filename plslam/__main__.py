@@ -87,6 +87,85 @@ def cmd_eval(args):
     print(json.dumps(_score(ts, ps, qs, _load_gt(args), args.rpe_delta, args.align)))
 
 
+# The 11 EuRoC MAV sequences of the parity protocol (BASELINE.md tier-0 /
+# SURVEY.md §A.8) with the PL-VIO-lineage published ATE RMSE envelope
+# (tier 3 — approximate, from the VINS-Mono/PL-VIO papers; parity = our ATE
+# within ~1.2× of these until reference-measured tier-0 rows exist).
+EUROC_SEQUENCES = {
+    "MH_01_easy": 0.12, "MH_02_easy": 0.12, "MH_03_medium": 0.13,
+    "MH_04_difficult": 0.18, "MH_05_difficult": 0.21,
+    "V1_01_easy": 0.07, "V1_02_medium": 0.09, "V1_03_difficult": 0.19,
+    "V2_01_easy": 0.08, "V2_02_medium": 0.16, "V2_03_difficult": 0.29,
+}
+
+
+def _find_sequences(root):
+    """Map canonical sequence name → on-disk dir (accepts MH_01_easy, MH_01,
+    mh_01_easy, … — anything whose prefix matches and contains mav0/)."""
+    found = {}
+    if not os.path.isdir(root):
+        return found
+    entries = {e.lower(): e for e in os.listdir(root)}
+    for name in EUROC_SEQUENCES:
+        for cand in (name.lower(), name[:5].lower()):
+            e = entries.get(cand)
+            if e and os.path.isdir(os.path.join(root, e, "mav0")):
+                found[name] = os.path.join(root, e)
+                break
+    return found
+
+
+def cmd_parity(args):
+    """Tier-0 parity run: every EuRoC sequence present under --data, one
+    table (the day the real dataset lands, parity is this one command)."""
+    from plslam.config import PLSlamConfig
+    from plslam.eval.metrics import write_tum
+    from plslam.io.euroc import EurocSequence
+    from plslam.runner import run_euroc
+
+    seqs = _find_sequences(args.data)
+    if not seqs:
+        sys.exit(
+            f"error: no EuRoC sequences found under {args.data!r} — expected "
+            "subdirs like MH_01_easy/mav0/… (see SURVEY.md §A.8 for the ASL layout)"
+        )
+    cfg = PLSlamConfig.from_yaml(args.config) if args.config else PLSlamConfig()
+    out = args.output or "parity_out"
+    os.makedirs(out, exist_ok=True)
+    rows = []
+    for name, path in seqs.items():
+        print(f"[parity] {name} …", file=sys.stderr)
+        try:
+            ts, ps, qs, est, pg = run_euroc(
+                path, cfg, use_lines=not args.no_lines,
+                max_frames=args.max_frames, progress=False)
+            write_tum(os.path.join(out, f"{name}.tum"), ts, ps, qs)
+            seq = EurocSequence.load(path)
+            row = dict(sequence=name, lineage_ate_m=EUROC_SEQUENCES[name])
+            if seq.gt_t is not None and len(ts) >= 3:
+                row.update(_score(ts, ps, qs, (seq.gt_t, seq.gt_p, seq.gt_q),
+                                  args.rpe_delta, args.align))
+                row["parity"] = bool(row["ate_rmse_m"] <= 1.2 * EUROC_SEQUENCES[name])
+            if pg is not None:
+                row["loops"] = pg.loop_count
+        except Exception as exc:  # a hard sequence must not kill the table
+            row = dict(sequence=name, error=f"{type(exc).__name__}: {exc}")
+        rows.append(row)
+        print(json.dumps(row))
+    # markdown summary
+    lines = ["| sequence | ATE [m] | RPE-1s [m] | lineage [m] | parity |",
+             "|---|---|---|---|---|"]
+    for r in rows:
+        lines.append(
+            f"| {r['sequence']} | {r.get('ate_rmse_m', '—')} | "
+            f"{r.get('rpe_trans_m', '—')} | {r.get('lineage_ate_m', '—')} | "
+            f"{'✅' if r.get('parity') else ('❌' if 'parity' in r else '—')} |")
+    table = "\n".join(lines)
+    with open(os.path.join(out, "parity.md"), "w") as fh:
+        fh.write(table + "\n")
+    print(table, file=sys.stderr)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="plslam")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -103,6 +182,16 @@ def main(argv=None):
     r.add_argument("--rpe-delta", type=float, default=1.0)
     r.add_argument("--quiet", action="store_true")
     r.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("parity", help="run + score every EuRoC sequence under a root dir")
+    p.add_argument("--data", required=True, help="EuRoC root (contains MH_01_easy/ … V2_03_difficult/)")
+    p.add_argument("--config", default=None, help="reference-format YAML config")
+    p.add_argument("--output", default=None, help="output dir (per-seq TUM + parity.md)")
+    p.add_argument("--no-lines", action="store_true")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--align", default="yaw", choices=("yaw", "se3", "sim3"))
+    p.add_argument("--rpe-delta", type=float, default=1.0)
+    p.set_defaults(fn=cmd_parity)
 
     e = sub.add_parser("eval", help="score a TUM trajectory against ground truth")
     e.add_argument("--est", required=True, help="estimated trajectory (TUM)")

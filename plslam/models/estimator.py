@@ -521,7 +521,7 @@ class Estimator:
         nw = self.cfg.window_size
         if flag == MARGIN_OLD:
             self.prior = marg.marginalize_old(
-                st, f, self.lay, self.cfg, groups=getattr(self, "_last_groups", None))
+                st, f, self.lay, self.cfg, groups=self._last_groups)
             p_wc, q_wc = self._cam_poses_np()
             old0_p, old0_q = p_wc[0].copy(), q_wc[0].copy()
             self._roll_states()

@@ -369,10 +369,13 @@ def fundamental_ransac(p1, p2, valid, thresh, iters: int = 100, key=None):
     n = p1.shape[0]
     dtype = p1.dtype
     key = key if key is not None else jax.random.PRNGKey(0)
-    idx = jax.random.randint(key, (iters, 8), 0, jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1))
-    # map sample indices onto valid slots
-    order = jnp.argsort(~valid)  # valid slots first
-    samples = order[idx]  # [iters,8]
+    # sample 8 DISTINCT valid slots per hypothesis via Gumbel top-k (uniform
+    # without replacement over the valid set — no duplicate rows, no low-slot
+    # bias). With <8 valid slots the extra picks are invalid → degenerate
+    # hypothesis → NaN F → zero inliers, same as a degenerate SVD sample.
+    gumbel = jax.random.gumbel(key, (iters, n), dtype)
+    score = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, samples = jax.lax.top_k(score, 8)  # [iters,8]
 
     x1 = jnp.concatenate([p1, jnp.ones((n, 1), dtype)], axis=1)
     x2 = jnp.concatenate([p2, jnp.ones((n, 1), dtype)], axis=1)

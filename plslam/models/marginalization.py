@@ -23,7 +23,7 @@ x₀ (the FEJ linearisation point) is the pre-slide state, shifted the same way.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -98,7 +98,7 @@ def _marg_factor_subset(f: res.WindowFactors) -> res.WindowFactors:
 @partial(jax.jit, static_argnames=("lay", "cfg"))
 def marginalize_old(
     state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
-    groups: tuple = None,
+    groups: Optional[tuple] = None,
 ) -> Prior:
     """MARGIN_OLD: absorb frame 0 (pose+speedbias) and its landmarks into a
     new linear prior, already re-indexed for the subsequent window shift.
@@ -107,7 +107,10 @@ def marginalize_old(
     (`SolveStats.groups` from the solve that produced it) — reuses that
     evaluation for the IRLS weights instead of re-running the residual stack
     (the vision residuals are gauge-invariant, so the solver's pre-reanchor
-    carry is exact here)."""
+    carry is exact here; for anchored line charts the estimator round-trips
+    lines through world coordinates between solve and marginalization, so the
+    reused groups match only to f32 round-trip noise there — harmless, they
+    feed IRLS weights only)."""
     from plslam.models.solver import linearize_blocks
 
     focal = cfg.focal_length
@@ -116,7 +119,8 @@ def marginalize_old(
     if lp != "world":
         # callers hold world-frame lines; marginalize in the configured chart
         state = state._replace(line=res.lines_from_world(state, state.line, f.ln_start, lp))
-    if groups:
+    if groups is not None:
+        assert len(groups) > 0, "groups passed but empty — caller wiring bug"
         pt_w, ln_w, _ = res.weights_of_groups(groups, cfg.cauchy_c)
     else:
         pt_w, ln_w, _ = res.robust_weights(state, f, focal, cfg.cauchy_c, lp)

@@ -18,7 +18,18 @@ from plslam.ops.lines import plucker_from_points
 from plslam.utils.geometry import quat_conj, quat_mul, quat_rotate
 
 
-def gt_window_state(seq: SyntheticSequence, frames, cfg: SolverConfig, dtype=jnp.float64) -> WindowState:
+def _default_dtype(dtype):
+    """f64 when the runtime has it, f32 otherwise — requesting jnp.float64
+    under an f32-only runtime only produces warning spam + a silent cast."""
+    if dtype is not None:
+        return dtype
+    import jax
+
+    return jnp.float64 if jax.config.x64_enabled else jnp.float32
+
+
+def gt_window_state(seq: SyntheticSequence, frames, cfg: SolverConfig, dtype=None) -> WindowState:
+    dtype = _default_dtype(dtype)
     idx = np.asarray(frames)
     st = zero_state(cfg, dtype)
     return st._replace(
@@ -41,7 +52,7 @@ def factors_from_synthetic(
     frames,
     cfg: SolverConfig,
     lay: TangentLayout,
-    dtype=jnp.float64,
+    dtype=None,
     with_lines: bool = True,
     noise: imu_ops.ImuNoise | None = None,
 ):
@@ -50,9 +61,12 @@ def factors_from_synthetic(
     Returns (gt_state, factors) where gt_state holds true poses, true inverse
     depths (anchored in each feature's first observing frame) and true world
     Plücker lines — the solver should reproduce it from perturbations."""
+    dtype = _default_dtype(dtype)
     nw = lay.nw
     assert len(frames) == nw
-    noise = noise or imu_ops.ImuNoise.euroc(jnp.float64)
+    # dtype-aware throughout: explicit jnp.float64 requests under an f32-only
+    # runtime (bench, dryrun) spam harmless-but-noisy x64 warnings
+    noise = noise or imu_ops.ImuNoise.euroc(dtype)
     f = empty_factors(cfg, lay, dtype)
     state = gt_window_state(seq, frames, cfg, dtype)
 
@@ -60,7 +74,8 @@ def factors_from_synthetic(
     pres = []
     for k in range(nw - 1):
         acc, gyr, dt = imu_between(seq, float(seq.frame_t[frames[k]]), float(seq.frame_t[frames[k + 1]]))
-        pres.append(imu_ops.preintegrate(acc, gyr, dt, jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64), noise))
+        pres.append(imu_ops.preintegrate(acc.astype(dtype), gyr.astype(dtype), dt.astype(dtype),
+                                         jnp.zeros(3, dtype), jnp.zeros(3, dtype), noise))
     f = f._replace(
         imu_alpha=jnp.stack([p.alpha for p in pres]).astype(dtype),
         imu_beta=jnp.stack([p.beta for p in pres]).astype(dtype),

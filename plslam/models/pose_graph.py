@@ -318,6 +318,7 @@ class PoseGraph:
         K = cfg.max_keyframes
         self.vio_p = np.zeros((K, 3))
         self.vio_q = np.zeros((K, 4))
+        self.vio_yaw = np.zeros(K)
         self.opt_p = np.zeros((K, 3))
         self.opt_yaw = np.zeros(K)
         self.pitch = np.zeros(K)
@@ -349,23 +350,30 @@ class PoseGraph:
         self.vio_p[k] = p_w
         self.vio_q[k] = q_w
         ypr = np.asarray(rot_to_ypr(quat_to_rot(jnp.asarray(q_w))))
-        self.opt_yaw[k] = ypr[0]
+        self.vio_yaw[k] = ypr[0]
         self.pitch[k] = ypr[1]
         self.roll[k] = ypr[2]
-        self.opt_p[k] = p_w
+        # new nodes enter the optimization in the DRIFT-CORRECTED frame so
+        # they are consistent with already-optimized predecessors (the
+        # reference initializes new keyframes through r_drift/t_drift)
+        self.opt_yaw[k] = ypr[0] + self.yaw_drift
+        self.opt_p[k] = self.r_drift @ np.asarray(p_w, np.float64) + self.t_drift
         self.t_kf[k] = t
         self.n += 1
 
-        # sequential edges to up to 5 predecessors (FourDOFError, weight 1);
+        # sequential edges to up to 5 predecessors (FourDOFError, weight 1),
+        # measured EXCLUSIVELY from VIO poses — never from opt_* state, which
+        # PGO/fast_relocalize rewrite (mixing frames would encode the applied
+        # correction as a biased measurement on every later edge — §A.7);
         # never bridge the loaded-map → new-session discontinuity (the VIO
         # relative pose across it is meaningless — reference sequence semantics)
         for back in range(1, MAX_EDGES_SEQ + 1):
             i = k - back
             if i < self.base_n:
                 break
-            Ri = np.asarray(_rot_ypr(asdev(self.opt_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
+            Ri = np.asarray(_rot_ypr(asdev(self.vio_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
             rel_t = Ri.T @ (self.vio_p[k] - self.vio_p[i])
-            rel_yaw = self.opt_yaw[k] - self.opt_yaw[i]
+            rel_yaw = self.vio_yaw[k] - self.vio_yaw[i]
             self.edges.append(dict(i=i, j=k, t=rel_t, yaw=rel_yaw, w=1.0 if back == 1 else 0.6, loop=0))
 
         loop = None
@@ -457,8 +465,7 @@ class PoseGraph:
         i = old_idx
         rel_t = R_w_old.T @ (self.vio_p[j] - p_w_old)
         yaw_old = float(np.asarray(rot_to_ypr(jnp.asarray(R_w_old)))[0])
-        yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[j]))))[0])
-        rel_yaw = yaw_j - yaw_old
+        rel_yaw = self.vio_yaw[j] - yaw_old
         # gates (`findConnection`)
         if abs(((rel_yaw - (self.opt_yaw[j] - self.opt_yaw[i])) + np.pi) % (2 * np.pi) - np.pi) > np.deg2rad(self.cfg.max_loop_yaw_deg):
             rec["outcome"] = "yaw_gate"
@@ -494,8 +501,7 @@ class PoseGraph:
         Ri = np.asarray(_rot_ypr(asdev(self.opt_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
         p_j_map = self.opt_p[i] + Ri @ np.asarray(edge["t"])
         yaw_j_map = self.opt_yaw[i] + edge["yaw"]
-        vio_yaw_j = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[j]))))[0])
-        self.yaw_drift = yaw_j_map - vio_yaw_j
+        self.yaw_drift = yaw_j_map - self.vio_yaw[j]
         Rz = np.asarray(_rot_ypr(asdev(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
         self.r_drift = Rz
         self.t_drift = p_j_map - Rz @ self.vio_p[j]
@@ -546,8 +552,7 @@ class PoseGraph:
         self.opt_yaw[: self.n] = np.asarray(yaw)[: self.n]
         # drift: last keyframe optimized vs VIO (§A.7)
         k = self.n - 1
-        vio_yaw = float(np.asarray(rot_to_ypr(quat_to_rot(asdev(self.vio_q[k]))))[0])
-        self.yaw_drift = self.opt_yaw[k] - vio_yaw
+        self.yaw_drift = self.opt_yaw[k] - self.vio_yaw[k]
         Rz = np.asarray(_rot_ypr(asdev(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
         self.r_drift = Rz
         self.t_drift = self.opt_p[k] - Rz @ self.vio_p[k]
@@ -592,7 +597,7 @@ class PoseGraph:
         np.savez_compressed(
             path,
             n=n, base_n=self.base_n,
-            vio_p=self.vio_p[:n], vio_q=self.vio_q[:n],
+            vio_p=self.vio_p[:n], vio_q=self.vio_q[:n], vio_yaw=self.vio_yaw[:n],
             opt_p=self.opt_p[:n], opt_yaw=self.opt_yaw[:n],
             pitch=self.pitch[:n], roll=self.roll[:n],
             t_kf=self.t_kf[:n],
@@ -626,6 +631,12 @@ class PoseGraph:
         self.base_n = n  # everything loaded is the previous map
         self.vio_p[:n] = z["vio_p"]
         self.vio_q[:n] = z["vio_q"]
+        if "vio_yaw" in z.files:
+            self.vio_yaw[:n] = z["vio_yaw"]
+        else:  # maps saved before vio_yaw was persisted: derive from vio_q
+            self.vio_yaw[:n] = [
+                float(np.asarray(rot_to_ypr(quat_to_rot(asdev(q))))[0]) for q in z["vio_q"]
+            ]
         self.opt_p[:n] = z["opt_p"]
         self.opt_yaw[:n] = z["opt_yaw"]
         self.pitch[:n] = z["pitch"]

@@ -15,6 +15,55 @@ from plslam.io.synthetic import SyntheticSequence
 from plslam.models.estimator import Estimator
 
 
+class ImuFeeder:
+    """`getMeasurements` measurement pairing (SURVEY.md §3.3 / :119): feed the
+    estimator every IMU sample strictly before `t_img + td`, then ONE boundary
+    sample linearly interpolated exactly AT `t_img + td` — so each keyframe
+    interval's preintegration spans exactly the (td-shifted) frame gap instead
+    of snapping to the sample grid (up to ±half an IMU period of error
+    otherwise). td is read live from the estimator at every frame, so online
+    td estimation shifts the pairing just like the reference's
+    `estimator_node.cpp::getMeasurements`."""
+
+    def __init__(self, imu_t, acc, gyr):
+        self.t = np.asarray(imu_t, np.float64)
+        self.acc = np.asarray(acc, np.float64)
+        self.gyr = np.asarray(gyr, np.float64)
+        self.i = 0
+        self.prev_t = None
+        self.prev_acc = None
+        self.prev_gyr = None
+
+    def _feed(self, est, t, acc, gyr):
+        dt = (t - self.prev_t) if self.prev_t is not None else 0.005
+        est.process_imu(dt, acc, gyr)
+        self.prev_t, self.prev_acc, self.prev_gyr = t, acc, gyr
+
+    def feed_until(self, est, t_img):
+        """Feed samples up to the interpolated boundary at t_img + est.td."""
+        t_b = float(t_img) + float(est.td)
+        n = len(self.t)
+        while self.i < n and self.t[self.i] < t_b - 1e-9:
+            self._feed(est, self.t[self.i], self.acc[self.i], self.gyr[self.i])
+            self.i += 1
+        if self.i >= n:
+            return  # stream ended before the boundary — nothing to interpolate
+        t1 = self.t[self.i]
+        if t1 <= t_b + 1e-9:
+            # a sample lies exactly on the boundary — consume it verbatim
+            self._feed(est, t1, self.acc[self.i], self.gyr[self.i])
+            self.i += 1
+            return
+        if self.prev_t is None:
+            return  # boundary precedes the first IMU sample
+        # linear interpolation between the last fed sample and sample i; the
+        # un-consumed sample i opens the next interval with dt = t1 − t_b
+        w = (t_b - self.prev_t) / (t1 - self.prev_t)
+        acc_b = (1.0 - w) * self.prev_acc + w * self.acc[self.i]
+        gyr_b = (1.0 - w) * self.prev_gyr + w * self.gyr[self.i]
+        self._feed(est, t_b, acc_b, gyr_b)
+
+
 def run_euroc(
     seq_path: str,
     config: PLSlamConfig | None = None,
@@ -97,8 +146,7 @@ def run_euroc(
         pending = executor.submit(_load, 0)
 
     ts_out, ps_out, qs_out = [], [], []
-    imu_i = 0
-    prev_imu_t = None
+    feeder = ImuFeeder(seq.imu_t, seq.imu_acc, seq.imu_gyr)
     for k in range(len(seq.cam_t)):
         if n_pub >= max_pub:
             break
@@ -120,11 +168,7 @@ def run_euroc(
         if k % stride != 0:
             continue  # tracked, not published
         n_pub += 1
-        while imu_i < len(seq.imu_t) and seq.imu_t[imu_i] <= t + 1e-9:
-            dt = (seq.imu_t[imu_i] - prev_imu_t) if prev_imu_t is not None else 0.005
-            est.process_imu(dt, seq.imu_acc[imu_i], seq.imu_gyr[imu_i])
-            prev_imu_t = seq.imu_t[imu_i]
-            imu_i += 1
+        feeder.feed_until(est, t)
         m = est.process_frame(float(t), ids, pts, vel, ln_ids, ln_segs)
         if est.initialized:
             tt, p, q = est.latest_pose()
@@ -254,22 +298,12 @@ def run_synthetic(
 
     drop_frames = drop_frames or set()  # fault injection (SURVEY.md §5.3)
     ts_out, ps_out, qs_out = [], [], []
-    imu_idx = 0
-    prev_t = None
+    feeder = ImuFeeder(imu_t, np.asarray(seq.imu_acc), np.asarray(seq.imu_gyr))
     for k, t in enumerate(frame_t):
         if k in drop_frames:
             continue  # dropped camera frame; IMU keeps accumulating
-        # feed IMU samples up to and including t
-        while imu_idx < len(imu_t) and imu_t[imu_idx] <= t + 1e-9:
-            if prev_t is None:
-                dt = 0.0
-            else:
-                dt = imu_t[imu_idx] - prev_t
-            est.process_imu(dt if prev_t is not None else 0.005,
-                            np.asarray(seq.imu_acc[imu_idx]),
-                            np.asarray(seq.imu_gyr[imu_idx]))
-            prev_t = imu_t[imu_idx]
-            imu_idx += 1
+        # feed IMU samples up to the interpolated boundary at t + td
+        feeder.feed_until(est, t)
 
         vis = np.nonzero(obs_valid[k])[0]
         pt_ids = vis

@@ -60,11 +60,9 @@ def test_run_requires_data():
         main(["run"])
 
 
-def test_run_subcommand_on_rendered_dataset(tmp_path, capsys):
-    """`python -m plslam run` end-to-end on a small rendered ASL dataset."""
+def _render_dataset(tmp_path):
     from plslam.io import render, synthetic
     from plslam.ops.cameras import PinholeRadTan
-    from plslam.utils.geometry import quat_to_rot
 
     H, W, F = 240, 376, 160.0
     seq = synthetic.make_sequence(duration=4.0, n_points=300, n_lines=0, seed=5,
@@ -72,6 +70,14 @@ def test_run_subcommand_on_rendered_dataset(tmp_path, capsys):
     cam = PinholeRadTan.create(F, F, W / 2, H / 2)
     render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=60,
                                blob_sigma=2.0, style="textured")
+    return seq, H, W, F
+
+
+def test_run_subcommand_on_rendered_dataset(tmp_path, capsys):
+    """`python -m plslam run` end-to-end on a small rendered ASL dataset."""
+    from plslam.utils.geometry import quat_to_rot
+
+    seq, H, W, F = _render_dataset(tmp_path)
     R_bc = np.array(quat_to_rot(seq.q_bc)).reshape(-1)
     p_bc = np.array(seq.p_bc)
     yaml_path = tmp_path / "cfg.yaml"
@@ -109,3 +115,56 @@ extrinsicTranslation: !!opencv-matrix
     assert body.ndim == 2 and body.shape[1] == 8 and len(body) > 5
     score = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(score["ate_rmse_m"])
+
+
+def test_parity_subcommand_autodetects_sequences(tmp_path, capsys):
+    """`python -m plslam parity` discovers present EuRoC sequences under a
+    root dir, runs them, and emits the table (BASELINE.md tier-0 protocol)."""
+    from plslam.utils.geometry import quat_to_rot
+
+    root = tmp_path / "euroc"
+    seq_dir = root / "MH_01_easy"
+    os.makedirs(seq_dir)
+    seq, H, W, F = _render_dataset(seq_dir)
+    R_bc = np.array(quat_to_rot(seq.q_bc)).reshape(-1)
+    p_bc = np.array(seq.p_bc)
+    yaml_path = tmp_path / "cfg.yaml"
+    yaml_path.write_text(
+        f"""%YAML:1.0
+image_width: {W}
+image_height: {H}
+projection_parameters:
+   fx: {F}
+   fy: {F}
+   cx: {W/2}
+   cy: {H/2}
+max_cnt: 80
+min_dist: 20
+min_score: 0.002
+equalize: 1
+loop_closure: 0
+extrinsicRotation: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [{", ".join(f"{v:.9f}" for v in R_bc)}]
+extrinsicTranslation: !!opencv-matrix
+   rows: 3
+   cols: 1
+   dt: d
+   data: [{", ".join(f"{v:.9f}" for v in p_bc)}]
+""")
+    out = tmp_path / "pout"
+    main(["parity", "--data", str(root), "--config", str(yaml_path),
+          "--output", str(out), "--no-lines", "--max-frames", "25"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["sequence"] == "MH_01_easy"
+    assert "error" not in row, row
+    assert np.isfinite(row["ate_rmse_m"])
+    assert (out / "parity.md").exists()
+    assert (out / "MH_01_easy.tum").exists()
+
+
+def test_parity_no_sequences_exits(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["parity", "--data", str(tmp_path)])

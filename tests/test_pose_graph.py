@@ -48,6 +48,58 @@ def test_optimize_4dof_closes_loop():
     assert np.linalg.norm(p_corr - gt_p[n - 1]) < err_before * 0.5
 
 
+def test_two_loops_sequential_edges_stay_vio_pure():
+    """Sequential edges added AFTER a PGO correction must be measured from
+    VIO poses only (SURVEY.md §A.7): a second loop after the first correction
+    closes just as well, and post-correction sequential-edge measurements
+    match GT relative poses to the same per-step-drift tolerance as
+    pre-correction ones (regression for opt/vio frame mixing)."""
+    n = 80
+    gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n, yaw_drift_total=0.2)
+    g = pg.PoseGraph(LoopConfig(max_keyframes=128))
+    n1 = n // 2
+
+    def gt_edge(i, j):
+        Ri = np.asarray(ypr_to_rot(jnp.asarray([gt_yaw[i], 0.0, 0.0])))
+        return dict(i=i, j=j, t=Ri.T @ (gt_p[j] - gt_p[i]),
+                    yaw=gt_yaw[j] - gt_yaw[i], w=2.0, loop=1)
+
+    for k in range(n1):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+    g.edges.append(gt_edge(0, n1 - 1))
+    g.optimize(iters=25)
+    assert abs(g.yaw_drift) > 0.01  # the first correction actually moved yaw
+
+    # keep adding keyframes after the correction; their sequential edges must
+    # NOT encode the applied yaw drift as a measurement
+    n_edges_before = len(g.edges)
+    for k in range(n1, n):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+    per_step_drift = 0.2 / (n - 1)  # incremental VIO yaw drift per step
+    for e in g.edges[n_edges_before:]:
+        if e["loop"]:
+            continue
+        i, j = e["i"], e["j"]
+        gt_rel_yaw = gt_yaw[j] - gt_yaw[i]
+        # measurement error bounded by the VIO's own per-step drift — NOT by
+        # the ~0.1 rad first correction (which frame mixing would inject)
+        assert abs(e["yaw"] - gt_rel_yaw) < per_step_drift * (j - i) + 1e-9, (i, j)
+        Ri_gt = np.asarray(ypr_to_rot(jnp.asarray([gt_yaw[i], 0.0, 0.0])))
+        gt_rel_t = Ri_gt.T @ (gt_p[j] - gt_p[i])
+        assert np.linalg.norm(e["t"] - gt_rel_t) < 0.05, (i, j)
+
+    # second loop closes on top of the first correction
+    g.edges.append(gt_edge(5, n - 1))
+    g.optimize(iters=25)
+    err_after = np.linalg.norm(g.opt_p[n - 1] - gt_p[n - 1])
+    assert err_after < 0.1, err_after
+    # the whole optimized path is near GT (both halves, not just the ends)
+    errs = np.linalg.norm(g.opt_p[:n] - gt_p[:n], axis=1)
+    assert errs.max() < 0.25, errs.max()
+
+
 def test_save_load_roundtrip(tmp_path):
     n = 10
     gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n)
