@@ -114,6 +114,13 @@ class LoopConfig:
     max_loop_yaw_deg: float = 30.0
     max_loop_translation: float = 20.0
     max_keyframes: int = 2048  # fixed DB capacity (TPU static shapes)
+    # detectLoop temporal consistency: a candidate is accepted only when the
+    # previous (loop_consistency − 1) keyframe queries also produced a
+    # candidate within ±consistency_gap indices of it — transient perceptual
+    # aliasing fires once and is rejected; real revisits persist. Loaded-map
+    # candidates bypass this (fast_relocalization wants immediacy).
+    loop_consistency: int = 2
+    consistency_gap: int = 12
 
 
 @dataclass(frozen=True)

@@ -488,16 +488,23 @@ class Estimator:
         return stats
 
     def _reject_outliers(self):
-        """`removeOutlier` / `removeLineOutlier`: reprojection gating."""
+        """`removeOutlier` / `removeLineOutlier`: reprojection gating.
+
+        Reuses the solver's carried residual groups (`SolveStats.groups` —
+        the unweighted whitened residuals at the final state) instead of
+        re-dispatching two residual-stack evaluations per frame: the vision
+        residuals are gauge-invariant, so the solver's pre-reanchor carry is
+        exactly `point_residuals(_last_state, …)` (anchored line charts match
+        to f32 round-trip noise — harmless for a 10 px gate)."""
         f = self._last_factors
-        st = self._last_state
-        r_pt = np.asarray(res.point_residuals(st, f, self.cfg.focal_length))
+        _, _, r_pt_dev, r_ln_dev, _ = self._last_groups
+        r_pt = np.asarray(r_pt_dev)
         err_px = np.linalg.norm(r_pt, axis=-1) * 1.5  # whitened → pixels
         per_feat = np.where(np.asarray(f.pt_mask) > 0, err_px, 0.0).max(axis=1)
         bad = (np.asarray(f.pt_valid) > 0) & (per_feat > 10.0)
         if np.any(bad):
             self.pt_table.drop(np.nonzero(bad)[0])
-        r_ln = np.asarray(res.line_residuals(st, f, self.cfg.focal_length))
+        r_ln = np.asarray(r_ln_dev)
         err_ln = np.abs(r_ln).max(axis=-1) * 1.5
         per_line = np.where(np.asarray(f.ln_mask) > 0, err_ln, 0.0).max(axis=1)
         badl = (np.asarray(f.ln_valid) > 0) & (per_line > 10.0)

@@ -197,6 +197,8 @@ class KeyframeDB:
         self.gdescs = np.zeros((capacity, GDESC_DIM), np.float32)
         self.n = 0
         self.entries = []  # per-kf dicts: uv, valid, desc, pts3d, pose
+        self.recent = []  # per-query best-candidate index (or None) — the
+        # temporal-consistency history of `detectLoop` (SURVEY.md:144)
 
     def add(self, entry, gdesc):
         if self.n >= self.capacity:
@@ -206,19 +208,33 @@ class KeyframeDB:
         self.n += 1
         return self.n - 1
 
-    def query(self, gdesc, exclude_last=50, min_score=0.15, top_k=4, always_include=0):
+    def query(self, gdesc, exclude_last=50, min_score=0.15, top_k=4, always_include=0,
+              consistency=1, consistency_gap=12):
         """Top-k cosine candidates older than `exclude_last` frames.
-        Mirrors detectLoop's relative-threshold + temporal consistency: accept
-        when the best is strong and a second candidate is also present.
+        Mirrors detectLoop's relative-threshold check (best strong AND a
+        second candidate present) plus its TEMPORAL consistency: with
+        `consistency` > 1, a candidate is returned only when the previous
+        (consistency − 1) queries also produced candidates within
+        ±consistency_gap of it — a transiently-aliased place fires once and
+        is rejected; a genuine revisit persists across keyframes.
         `always_include`: entries [0, always_include) are a loaded previous
-        map — never "recent", so always searchable (relocalization)."""
+        map — never "recent", so always searchable, and exempt from temporal
+        consistency (fast_relocalization snaps on the first confirmed match)."""
         hi = max(self.n - exclude_last, min(always_include, self.n))
         if hi <= 0:
+            self.recent.append(None)
             return None
         sims = self.gdescs[:hi] @ gdesc
         order = np.argsort(-sims)[:top_k]
-        if sims[order[0]] < min_score:
-            return None
-        if len(order) > 1 and sims[order[1]] < min_score * 0.45:
-            return None
-        return int(order[0])
+        cand = None
+        if sims[order[0]] >= min_score and not (
+                len(order) > 1 and sims[order[1]] < min_score * 0.45):
+            cand = int(order[0])
+        accepted = cand
+        if cand is not None and cand >= always_include and consistency > 1:
+            hist = self.recent[-(consistency - 1):]
+            if len(hist) < consistency - 1 or not all(
+                    p is not None and abs(p - cand) <= consistency_gap for p in hist):
+                accepted = None
+        self.recent.append(cand)
+        return accepted

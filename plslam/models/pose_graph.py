@@ -25,6 +25,7 @@ import numpy as np
 from plslam.utils.device import asdev
 from plslam.config import LoopConfig
 from plslam.models import keyframe_db as kdb
+from plslam.utils import quat_np as qnp
 from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
 
 MAX_EDGES_SEQ = 5
@@ -39,6 +40,15 @@ _PCG_THRESHOLD = 6144
 
 def _rot_ypr(yaw, pitch, roll):
     return ypr_to_rot(jnp.stack([yaw, pitch, roll], axis=-1))
+
+
+def _rot_ypr_np(yaw, pitch=0.0, roll=0.0):
+    """Host-path Rz(y)Ry(p)Rx(r) — the pose graph's bookkeeping runs per
+    keyframe on the host; routing it through jnp costs ~1.5 ms per dispatch
+    through the device tunnel."""
+    return qnp.ypr_to_rot(np.stack([np.asarray(yaw, np.float64),
+                                    np.asarray(pitch, np.float64),
+                                    np.asarray(roll, np.float64)], axis=-1))
 
 
 def _wrap(a):
@@ -345,11 +355,15 @@ class PoseGraph:
         keyframe — pixel coords, world 3D, global feature ids (the
         `computeWindowBRIEFPoint` inputs; ids flow back via match_points)."""
         if self.n >= self.cfg.max_keyframes:
-            return None
+            # capacity policy: the reference's keyframe list is unbounded;
+            # at our fixed capacity, downsample old non-loop keyframes
+            # instead of silently dropping new ones
+            if not self._evict_for_capacity():
+                return None
         k = self.n
         self.vio_p[k] = p_w
         self.vio_q[k] = q_w
-        ypr = np.asarray(rot_to_ypr(quat_to_rot(jnp.asarray(q_w))))
+        ypr = qnp.rot_to_ypr(qnp.quat_to_rot(np.asarray(q_w, np.float64)))
         self.vio_yaw[k] = ypr[0]
         self.pitch[k] = ypr[1]
         self.roll[k] = ypr[2]
@@ -371,7 +385,7 @@ class PoseGraph:
             i = k - back
             if i < self.base_n:
                 break
-            Ri = np.asarray(_rot_ypr(asdev(self.vio_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
+            Ri = _rot_ypr_np(self.vio_yaw[i], self.pitch[i], self.roll[i])
             rel_t = Ri.T @ (self.vio_p[k] - self.vio_p[i])
             rel_yaw = self.vio_yaw[k] - self.vio_yaw[i]
             self.edges.append(dict(i=i, j=k, t=rel_t, yaw=rel_yaw, w=1.0 if back == 1 else 0.6, loop=0))
@@ -397,7 +411,9 @@ class PoseGraph:
                          win_desc=win_desc, img_shape=img.shape,
                          img=np.asarray(img, np.float32) if self.keep_images else None)
             old = self.db.query(gdesc, exclude_last=self.cfg.min_loop_gap,
-                                always_include=self.base_n)
+                                always_include=self.base_n,
+                                consistency=self.cfg.loop_consistency,
+                                consistency_gap=self.cfg.consistency_gap)
             self.db.add(entry, gdesc)
             if old is not None:
                 loop = self._find_connection(old, k, entry)
@@ -406,6 +422,61 @@ class PoseGraph:
                     self.loop_count += 1
                     self._pending_opt = True
         return loop
+
+    def _evict_for_capacity(self) -> bool:
+        """Downsample the graph when full: evict every other OLD keyframe
+        that is not part of the loaded map, not a loop-edge endpoint, not the
+        gauge anchor, and not in the newest quarter; remap indices; keep loop
+        edges and REBUILD all sequential edges from the stored VIO poses
+        (sequential measurements are pure functions of VIO state, so the
+        composition across evicted nodes is exact — §A.7). Returns False when
+        nothing is evictable (graph saturated with loop/map nodes)."""
+        n = self.n
+        loop_nodes = set()
+        for e in self.edges:
+            if e["loop"]:
+                loop_nodes.add(e["i"])
+                loop_nodes.add(e["j"])
+        protect_from = max(self.base_n, n - max(n // 4, 1))
+        evict = set(
+            k for k in range(max(self.base_n, 1), protect_from) if k not in loop_nodes
+        )
+        evict = set(sorted(evict)[::2])  # every other evictable
+        if not evict:
+            return False
+        # a db misaligned with the keyframe list (some keyframes added without
+        # imagery while others had it) cannot be remapped safely — keep the
+        # old drop-new behavior there
+        if self.db.n not in (0, n):
+            return False
+        keep = [k for k in range(n) if k not in evict]
+        remap = {old: new for new, old in enumerate(keep)}
+        for name in ("vio_p", "vio_q", "vio_yaw", "opt_p", "opt_yaw",
+                     "pitch", "roll", "t_kf"):
+            arr = getattr(self, name)
+            arr[: len(keep)] = arr[keep]
+        if self.db.n == n:
+            self.db.gdescs[: len(keep)] = self.db.gdescs[keep]
+            self.db.entries = [self.db.entries[k] for k in keep]
+            self.db.n = len(keep)
+            self.db.recent = []  # candidate indices shifted; restart the chain
+        self.n = len(keep)
+        new_edges = [
+            {**e, "i": remap[e["i"]], "j": remap[e["j"]]}
+            for e in self.edges if e["loop"]
+        ]
+        for k in range(1, self.n):
+            for back in range(1, MAX_EDGES_SEQ + 1):
+                i = k - back
+                if i < self.base_n:
+                    break
+                Ri = _rot_ypr_np(self.vio_yaw[i], self.pitch[i], self.roll[i])
+                rel_t = Ri.T @ (self.vio_p[k] - self.vio_p[i])
+                rel_yaw = self.vio_yaw[k] - self.vio_yaw[i]
+                new_edges.append(dict(i=i, j=k, t=rel_t, yaw=rel_yaw,
+                                      w=1.0 if back == 1 else 0.6, loop=0))
+        self.edges = new_edges
+        return True
 
     def _find_connection(self, old_idx, cur_idx, cur_entry):
         """`KeyFrame::findConnection`: the CURRENT keyframe's window points
@@ -464,7 +535,7 @@ class PoseGraph:
         j = cur_idx
         i = old_idx
         rel_t = R_w_old.T @ (self.vio_p[j] - p_w_old)
-        yaw_old = float(np.asarray(rot_to_ypr(jnp.asarray(R_w_old)))[0])
+        yaw_old = float(qnp.rot_to_ypr(R_w_old)[0])
         rel_yaw = self.vio_yaw[j] - yaw_old
         # gates (`findConnection`)
         if abs(((rel_yaw - (self.opt_yaw[j] - self.opt_yaw[i])) + np.pi) % (2 * np.pi) - np.pi) > np.deg2rad(self.cfg.max_loop_yaw_deg):
@@ -483,7 +554,7 @@ class PoseGraph:
                 ids=ids[sel],
                 obs_old=norm_old[inl],
                 p_old=p_w_old,
-                q_old=np.asarray(rot_to_quat(jnp.asarray(R_w_old))),
+                q_old=qnp.rot_to_quat(R_w_old),
                 old_idx=i, cur_idx=j,
                 # pixel coords + old image for the `match_image` debug dump
                 uv_cur=np.asarray(cur_entry["win_uv"])[sel] if cur_entry.get("win_uv") is not None else None,
@@ -498,11 +569,11 @@ class PoseGraph:
         pose of the current keyframe implied by the measured relative pose —
         without waiting for the full 4-DoF PGO."""
         i, j = edge["i"], edge["j"]
-        Ri = np.asarray(_rot_ypr(asdev(self.opt_yaw[i]), asdev(self.pitch[i]), asdev(self.roll[i])))
+        Ri = _rot_ypr_np(self.opt_yaw[i], self.pitch[i], self.roll[i])
         p_j_map = self.opt_p[i] + Ri @ np.asarray(edge["t"])
         yaw_j_map = self.opt_yaw[i] + edge["yaw"]
         self.yaw_drift = yaw_j_map - self.vio_yaw[j]
-        Rz = np.asarray(_rot_ypr(asdev(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
+        Rz = _rot_ypr_np(self.yaw_drift)
         self.r_drift = Rz
         self.t_drift = p_j_map - Rz @ self.vio_p[j]
         self.opt_p[j] = p_j_map
@@ -553,7 +624,7 @@ class PoseGraph:
         # drift: last keyframe optimized vs VIO (§A.7)
         k = self.n - 1
         self.yaw_drift = self.opt_yaw[k] - self.vio_yaw[k]
-        Rz = np.asarray(_rot_ypr(asdev(self.yaw_drift), jnp.asarray(0.0), jnp.asarray(0.0)))
+        Rz = _rot_ypr_np(self.yaw_drift)
         self.r_drift = Rz
         self.t_drift = self.opt_p[k] - Rz @ self.vio_p[k]
         self._pending_opt = False
@@ -561,7 +632,7 @@ class PoseGraph:
     def correct(self, p_vio, q_vio):
         """Apply the current drift to a live VIO pose (`updatePath` output)."""
         p = self.r_drift @ np.asarray(p_vio) + self.t_drift
-        q = np.asarray(quat_mul(rot_to_quat(asdev(self.r_drift)), jnp.asarray(q_vio)))
+        q = qnp.quat_mul(qnp.rot_to_quat(self.r_drift), np.asarray(q_vio, np.float64))
         return p, q
 
     # --------------------------------------------------------------- save/load
@@ -635,7 +706,7 @@ class PoseGraph:
             self.vio_yaw[:n] = z["vio_yaw"]
         else:  # maps saved before vio_yaw was persisted: derive from vio_q
             self.vio_yaw[:n] = [
-                float(np.asarray(rot_to_ypr(quat_to_rot(asdev(q))))[0]) for q in z["vio_q"]
+                float(qnp.rot_to_ypr(qnp.quat_to_rot(q))[0]) for q in z["vio_q"]
             ]
         self.opt_p[:n] = z["opt_p"]
         self.opt_yaw[:n] = z["opt_yaw"]

@@ -96,3 +96,27 @@ def rot_to_quat(R):
         y = (R[1, 2] + R[2, 1]) / s
         z = 0.25 * s
     return quat_normalize(np.array([w, x, y, z]))
+
+
+def ypr_to_rot(ypr):
+    """[..., 3] [yaw, pitch, roll] (radians) -> R = Rz(y) Ry(p) Rx(r)
+    (numpy mirror of `geometry.ypr_to_rot` for host hot paths)."""
+    ypr = np.asarray(ypr, np.float64)
+    y, p, r = ypr[..., 0], ypr[..., 1], ypr[..., 2]
+    cy, sy = np.cos(y), np.sin(y)
+    cp, sp = np.cos(p), np.sin(p)
+    cr, sr = np.cos(r), np.sin(r)
+    return np.stack([
+        np.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], axis=-1),
+        np.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], axis=-1),
+        np.stack([-sp, cp * sr, cp * cr], axis=-1),
+    ], axis=-2)
+
+
+def rot_to_ypr(R):
+    """R -> [yaw, pitch, roll] radians (numpy mirror of geometry.rot_to_ypr)."""
+    R = np.asarray(R, np.float64)
+    yaw = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    pitch = np.arctan2(-R[..., 2, 0], np.hypot(R[..., 2, 1], R[..., 2, 2]))
+    roll = np.arctan2(R[..., 2, 1], R[..., 2, 2])
+    return np.stack([yaw, pitch, roll], axis=-1)

