@@ -31,8 +31,10 @@ def init_distributed(coordinator_address: str | None = None,
     is active after the call, False for plain single-process mode."""
     import jax
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # do NOT probe jax.process_count() here — it initializes the XLA backend,
+    # after which jax.distributed.initialize() refuses to run
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = num_processes if num_processes is not None else (
         int(os.environ["JAX_NUM_PROCESSES"]) if "JAX_NUM_PROCESSES" in os.environ else None)
