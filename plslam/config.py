@@ -42,6 +42,7 @@ class TrackerConfig:
     max_lines: int = 64
     lsd_min_length: float = 30.0  # px
     lbd_match_thresh: int = 30  # Hamming distance gate
+    line_desc: str = "float"  # "float" (cosine matmul) | "binary" (256-bit Hamming)
 
 
 @dataclass(frozen=True)

@@ -277,6 +277,77 @@ def lbd_descriptors(mag_gx, mag_gy, segs, valid):
     return desc * valid[:, None]
 
 
+# fixed band-pair comparison tests: the reference's binary LBD
+# (binary_descriptor.cpp) is a vector of comparisons of the SAME statistic
+# between band pairs — same-type stats share scale, so the comparison is
+# stable under noise (random cross-stat pairs compare near-zero values and
+# flip bits). 8 stats × C(9,2)=36 band pairs = 288 tests; a fixed random 256
+# -subset gives the reference's 256-bit descriptor shape.
+_N_LBD_BITS = 256
+
+
+def _lbd_pairs():
+    pa, pb = [], []
+    for s in range(8):
+        for b1 in range(N_BANDS):
+            for b2 in range(b1 + 1, N_BANDS):
+                pa.append(b1 * 8 + s)
+                pb.append(b2 * 8 + s)
+    pa = np.asarray(pa, np.int32)
+    pb = np.asarray(pb, np.int32)
+    sel = np.random.default_rng(31).permutation(len(pa))[:_N_LBD_BITS]
+    return pa[sel], pb[sel]
+
+
+_LBD_PA, _LBD_PB = _lbd_pairs()
+
+
+@jax.jit
+def binarize_lbd(desc):
+    """Float LBD [N,72] → packed 256-bit binary descriptor [N,8] uint32
+    (the reference's `BinaryDescriptor` output shape: Hamming-matchable)."""
+    bits = desc[:, _LBD_PA] > desc[:, _LBD_PB]  # [N,256]
+    words = bits.reshape(-1, _N_LBD_BITS // 32, 32)
+    return jnp.sum(words.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1)
+
+
+def _hamming_dist(d1, d2, pallas=False):
+    if pallas:
+        from plslam.ops.kernels.hamming import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(d1, d2)
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_dist", "pallas"))
+def match_lbd_binary(desc1, segs1, valid1, desc2, segs2, valid2,
+                     max_dist: int = 80, pallas: bool = False):
+    """Binary variant of `match_lbd`: packed-bit Hamming KNN (the reference's
+    `BinaryDescriptorMatcher`, distance thresholded) + the same mutual-best
+    and geometric gates. `pallas=True` routes the distance matrix through the
+    TPU Pallas kernel (`ops/kernels/hamming.py`)."""
+    dist = _hamming_dist(desc1, desc2, pallas)  # [N1,N2] int32
+    ok = (valid1[:, None] > 0) & (valid2[None, :] > 0)
+
+    mid1 = 0.5 * (segs1[:, 0:2] + segs1[:, 2:4])
+    mid2 = 0.5 * (segs2[:, 0:2] + segs2[:, 2:4])
+    d1 = segs1[:, 2:4] - segs1[:, 0:2]
+    d2 = segs2[:, 2:4] - segs2[:, 0:2]
+    a1 = jnp.arctan2(d1[:, 1], d1[:, 0]) % jnp.pi
+    a2 = jnp.arctan2(d2[:, 1], d2[:, 0]) % jnp.pi
+    d_mid = jnp.linalg.norm(mid1[:, None] - mid2[None, :], axis=-1)
+    d_ang = jnp.abs((a1[:, None] - a2[None, :] + jnp.pi / 2) % jnp.pi - jnp.pi / 2)
+    gate = (d_mid < 60.0) & (d_ang < 0.25)
+
+    dist = jnp.where(ok & gate, dist, 999)
+    best12 = jnp.argmin(dist, axis=1)
+    best21 = jnp.argmin(dist, axis=0)
+    mutual = best21[best12] == jnp.arange(dist.shape[0])
+    good = mutual & (jnp.min(dist, axis=1) < max_dist) & (valid1 > 0)
+    return jnp.where(good, best12, -1)
+
+
 @jax.jit
 def match_lbd(desc1, segs1, valid1, desc2, segs2, valid2):
     """Mutual-best cosine matching + geometric gating
@@ -327,11 +398,17 @@ def merge_candidates(segs, score, valid, max_out: int):
 class FrontendLines:
     """Host orchestration (`LineFeatureTracker` equivalent)."""
 
-    def __init__(self, cam: PinholeRadTan, max_lines=64, dtype=jnp.float32, octaves=2):
+    def __init__(self, cam: PinholeRadTan, max_lines=64, dtype=jnp.float32, octaves=2,
+                 binary_desc: bool = False, pallas: bool | None = None):
         self.cam = cam
         self.max_lines = max_lines
         self.dtype = dtype
         self.octaves = octaves  # LSDDetector's scale pyramid (`numOctaves`)
+        # binary_desc: match 256-bit binarized LBD by packed Hamming (the
+        # reference's BinaryDescriptorMatcher path) instead of float cosine;
+        # pallas routes the distance matrix through the TPU kernel
+        self.binary_desc = binary_desc
+        self.pallas = (jax.default_backend() == "tpu") if pallas is None else pallas
         self.prev = None  # (segs, desc, valid, ids)
         self.next_id = 0
 
@@ -378,11 +455,18 @@ class FrontendLines:
         valid = jnp.asarray(valid)
         gx, gy = _scharr(img_j)
         desc = lbd_descriptors(gx, gy, segs, valid.astype(self.dtype))
+        if self.binary_desc:
+            desc = binarize_lbd(desc)
 
         ids = np.full(self.max_lines, -1, np.int64)
         if self.prev is not None:
             psegs, pdesc, pvalid, pids = self.prev
-            m = np.asarray(match_lbd(pdesc, psegs, pvalid, desc, jnp.asarray(segs), valid.astype(self.dtype)))
+            if self.binary_desc:
+                m = np.asarray(match_lbd_binary(
+                    pdesc, psegs, pvalid, desc, jnp.asarray(segs),
+                    valid.astype(self.dtype), pallas=self.pallas))
+            else:
+                m = np.asarray(match_lbd(pdesc, psegs, pvalid, desc, jnp.asarray(segs), valid.astype(self.dtype)))
             for i, j in enumerate(m):
                 if j >= 0 and pids[i] >= 0:
                     ids[j] = pids[i]

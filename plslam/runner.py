@@ -105,7 +105,8 @@ def run_euroc(
                         f_thresh_px=config.tracker.f_threshold,
                         focal=config.camera.fx,  # px→normalized via the real camera
                         min_score=config.tracker.min_score)
-    fLines = FrontendLines(cam, max_lines=config.tracker.max_lines) if use_lines else None
+    fLines = FrontendLines(cam, max_lines=config.tracker.max_lines,
+                           binary_desc=config.tracker.line_desc == "binary") if use_lines else None
     pgraph = PoseGraph(config.loop, focal=config.solver.focal_length,
                        R_bc=np.asarray(config.extrinsic.rot).reshape(3, 3),
                        p_bc=np.asarray(config.extrinsic.trans)) if loop_closure else None

@@ -147,3 +147,44 @@ def test_line_tracking_across_shift(rng):
     ids2, s2 = fe.process(img2, 0.05)
     common = np.intersect1d(ids1, ids2)
     assert len(common) >= 2, (ids1, ids2)
+
+
+def test_line_tracking_binary_matches_float(rng):
+    """Binary LBD (256-bit packed Hamming — the reference's
+    BinaryDescriptorMatcher path) tracks the same lines across a shift as the
+    float-cosine path, and the two matchers agree on the matched pairs."""
+    segs_gt = [(40, 40, 200, 60), (260, 30, 250, 200), (60, 180, 280, 150)]
+    img1 = draw_lines(segs_gt) + rng.standard_normal((240, 320)).astype(np.float32) * 0.01
+    img2 = shift_image(img1, 4.0, 2.0)
+    cam = PinholeRadTan.create(300.0, 300.0, 160.0, 120.0)
+    fe_f = fl.FrontendLines(cam, max_lines=32)
+    fe_b = fl.FrontendLines(cam, max_lines=32, binary_desc=True, pallas=False)
+    idsf1, _ = fe_f.process(img1, 0.0)
+    idsb1, _ = fe_b.process(img1, 0.0)
+    idsf2, _ = fe_f.process(img2, 0.05)
+    idsb2, _ = fe_b.process(img2, 0.05)
+    common_b = np.intersect1d(idsb1, idsb2)
+    common_f = np.intersect1d(idsf1, idsf2)
+    assert len(common_b) >= 2, (idsb1, idsb2)
+    # binary is a lossy compression of the 72-d float LBD (≤72 independent
+    # bits): it must track most of what float-cosine tracks, not all of it
+    assert len(common_b) >= max(2, len(common_f) // 2), (common_b, common_f)
+
+
+def test_binarize_lbd_hamming_discriminative(rng):
+    """Binarized LBD: same segment on a shifted image → small Hamming
+    distance; different segments → large."""
+    segs_gt = [(40, 40, 200, 60), (260, 30, 250, 200), (60, 180, 280, 150)]
+    img1 = draw_lines(segs_gt) + rng.standard_normal((240, 320)).astype(np.float32) * 0.01
+    img2 = shift_image(img1, 3.0, 1.0)
+    segs = jnp.asarray(np.asarray(segs_gt, np.float32))
+    segs_sh = segs + jnp.asarray([3.0, 1.0, 3.0, 1.0], jnp.float32)  # content moves +(dx,dy)
+    v = jnp.ones((len(segs_gt),), jnp.float32)
+    gx1, gy1 = fl._scharr(jnp.asarray(img1))
+    gx2, gy2 = fl._scharr(jnp.asarray(img2))
+    d1 = fl.binarize_lbd(fl.lbd_descriptors(gx1, gy1, segs, v))
+    d2 = fl.binarize_lbd(fl.lbd_descriptors(gx2, gy2, segs_sh, v))
+    dist = np.asarray(fl._hamming_dist(jnp.asarray(d1), jnp.asarray(d2)))
+    assert (np.diag(dist) < 45).all(), dist
+    off = dist[~np.eye(len(segs_gt), dtype=bool)]
+    assert off.min() > 70, dist
