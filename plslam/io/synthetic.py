@@ -41,11 +41,21 @@ class TrajectoryParams(NamedTuple):
     wiggle_amp: float = 0.0  # m (0 = off)
     wiggle_omega: float = 5.0  # rad/s
     wiggle_tau: float = 1.5  # decay time constant (s)
+    # persistent excitation: a NON-decaying multi-axis wobble riding the
+    # circle. On a constant-rate tangent-yawed circle the centripetal
+    # acceleration is CONSTANT in the body frame — indistinguishable from an
+    # accelerometer bias, so scale/bias are fundamentally unobservable there
+    # (measured: residual bias error drifts the scale to ~1.11 and plateaus).
+    # Real EuRoC flights are dynamically excited throughout; this matches.
+    excite_amp: float = 0.0  # m (0 = off)
+    excite_omega: float = 3.1  # rad/s
 
 
 def _pos_fn(params: TrajectoryParams):
     r, w, za, zw = params.radius, params.omega, params.z_amp, params.z_omega
     wa, wo, wt = params.wiggle_amp, params.wiggle_omega, params.wiggle_tau
+
+    ea, eo = params.excite_amp, params.excite_omega
 
     def pos(t):
         p = jnp.stack(
@@ -56,6 +66,11 @@ def _pos_fn(params: TrajectoryParams):
             p = p + env * jnp.stack([
                 jnp.sin(wo * t), jnp.sin(1.31 * wo * t + 0.7),
                 jnp.sin(0.73 * wo * t + 1.4),
+            ])
+        if ea != 0.0:
+            p = p + ea * jnp.stack([
+                jnp.sin(eo * t + 0.3), jnp.sin(1.27 * eo * t + 2.1),
+                jnp.sin(0.81 * eo * t + 0.9),
             ])
         return p
 

@@ -597,9 +597,7 @@ class Estimator:
         sel = np.nonzero(m)[0]
         if len(sel) == 0:
             return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
-        from plslam.models.residuals import _world_points
-
-        p_w = np.asarray(_world_points(st, f), np.float64)
+        p_w = np.asarray(_world_points_jit(st, f), np.float64)
         obs = np.asarray(f.pt_obs, np.float64)
         return ids[sel].copy(), obs[sel, k], p_w[sel]
 
@@ -628,3 +626,9 @@ def _preintegrate_padded(acc, gyr, dts, ba, bg, noise):
 @jax.jit
 def _preint_jit(acc, gyr, dts, ba, bg, noise):
     return imu_ops.preintegrate(acc, gyr, dts, ba, bg, noise)
+
+
+@jax.jit
+def _world_points_jit(st, f):
+    # one dispatch per keyframe instead of the ~20-op eager chain
+    return res._world_points(st, f)

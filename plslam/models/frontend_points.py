@@ -523,9 +523,13 @@ class FrontendPoints:
             self.next_id += len(sel)
             self.track_cnt[slots] = 1
             if len(sel):
-                self.prev_norm[slots] = np.asarray(
-                    lift(self.cam, asdev(self.prev_uv[slots], self.dtype)), np.float64
+                # lift the FULL fixed-shape table, slice on host: lifting
+                # just `slots` recompiles `lift` for every distinct new
+                # -feature count (seconds per compile through the TPU tunnel)
+                norm_all = np.asarray(
+                    lift(self.cam, asdev(self.prev_uv, self.dtype)), np.float64
                 )
+                self.prev_norm[slots] = norm_all[slots]
         # per-feature normalized-coordinate velocity (`undistortedPoints`)
         vel = np.zeros_like(self.prev_norm)
         if self.prev_t is not None:

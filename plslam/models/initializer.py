@@ -139,7 +139,12 @@ def _sfm(est, l, R_nl, t_nl):
     solver with IMU + prior masked off and frames ℓ, newest pinned (gauge +
     scale). Returns camera poses in the ℓ-camera frame + solved inv depths."""
     nw = est.cfg.window_size
-    lay, cfg, dtype = est.lay, est.cfg, jnp.float64
+    lay, cfg = est.lay, est.cfg
+    # f64 when the runtime has it (SFM conditioning), est.dtype otherwise —
+    # requesting f64 under an f32-only runtime just spams truncation warnings
+    import jax
+
+    dtype = jnp.float64 if jax.config.x64_enabled else est.dtype
     tbl = est.pt_table
 
     # initial camera poses: interpolate between identity (ℓ) and (R,t) (newest)

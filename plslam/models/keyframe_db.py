@@ -99,9 +99,17 @@ def extract_keyframe_features(img_j, extra_uv=None):
     )
     valid = (score > 1e-5).astype(img_j.dtype)
     if extra_uv is not None and len(extra_uv):
-        n = min(len(extra_uv), MAX_KP // 2)
-        uv = jnp.concatenate([jnp.asarray(extra_uv[:n], img_j.dtype), uv[: MAX_KP - n]])
-        valid = jnp.concatenate([jnp.ones((n,), img_j.dtype), valid[: MAX_KP - n]])
+        # pad extra_uv to a FIXED slot count: a per-call length would give
+        # every distinct window-point count its own compiled executable
+        # (seconds each through the TPU tunnel)
+        nmax = MAX_KP // 2
+        cnt = min(len(extra_uv), nmax)
+        buf = np.zeros((nmax, 2), np.float32)
+        buf[:cnt] = np.asarray(extra_uv[:cnt], np.float32)
+        vbuf = np.zeros((nmax,), np.float32)
+        vbuf[:cnt] = 1.0
+        uv = jnp.concatenate([jnp.asarray(buf, img_j.dtype), uv[: MAX_KP - nmax]])
+        valid = jnp.concatenate([jnp.asarray(vbuf, img_j.dtype), valid[: MAX_KP - nmax]])
     desc, bits = brief_descriptors(img_j, uv, valid)
     gdesc = global_descriptor(bits, valid)
     return np.asarray(uv), np.asarray(valid, bool), np.asarray(desc), np.asarray(gdesc)

@@ -399,13 +399,24 @@ class PoseGraph:
             # computeBRIEFPoint union): a later revisit's window points — also
             # tracked feature centers — then have geometrically consistent
             # counterparts to match into
+            # cap the window-point payload at the fixed BRIEF slot budget so
+            # every device call below has ONE compiled shape
+            nmax = kdb.MAX_KP // 2
+            if win_uv is not None and len(win_uv) > nmax:
+                win_uv = win_uv[:nmax]
+                win_ids = win_ids[:nmax] if win_ids is not None else None
+                win_pts3d = win_pts3d[:nmax] if win_pts3d is not None else None
             uv, valid, desc, gdesc = kdb.extract_keyframe_features(img_j, extra_uv=win_uv)
             # window-point descriptors (`computeWindowBRIEFPoint`)
             win_desc = None
             if win_uv is not None and len(win_uv):
-                wv = jnp.ones((len(win_uv),), jnp.float32)
-                win_desc, _ = kdb.brief_descriptors(img_j, jnp.asarray(win_uv, jnp.float32), wv)
-                win_desc = np.asarray(win_desc)
+                cnt = len(win_uv)
+                buf = np.zeros((nmax, 2), np.float32)
+                buf[:cnt] = np.asarray(win_uv, np.float32)
+                wv = np.zeros((nmax,), np.float32)
+                wv[:cnt] = 1.0
+                win_desc, _ = kdb.brief_descriptors(img_j, jnp.asarray(buf), jnp.asarray(wv))
+                win_desc = np.asarray(win_desc)[:cnt]
             entry = dict(uv=uv, valid=valid, desc=desc, cam=cam,
                          win_uv=win_uv, win_ids=win_ids, win_pts3d=win_pts3d,
                          win_desc=win_desc, img_shape=img.shape,

@@ -98,6 +98,12 @@ def consensus_solve(
     landmark-sharded distributed solve here to run BOTH scaling axes on one
     ('kf_part', 'lmk') mesh.
 
+    NOTE: the chain alignment assumes partition k's frame 0 IS partition
+    k−1's frame nw−1 (one shared boundary frame) — i.e. n_frames must be
+    P·window + 1. `partition_frames`' ragged tail partition (overlap > 1)
+    violates this; trim the history to full partitions first (see
+    `runner.run_synthetic_large_window`).
+
     Returns the stacked partition states after consensus; use
     `stitch_trajectory` to extract the global keyframe poses."""
     P = part_states.p.shape[0]

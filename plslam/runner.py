@@ -177,7 +177,16 @@ def run_euroc(
                 ids_w, norm_w, pts3d_w = est.window_points()
                 from plslam.ops.cameras import normalized_to_pixel
 
-                uv_w = np.asarray(normalized_to_pixel(cam, jnp.asarray(norm_w, jnp.float32)), np.float64) if len(ids_w) else None
+                uv_w = None
+                if len(ids_w):
+                    # fixed-shape projection (a per-keyframe point count would
+                    # recompile normalized_to_pixel for every distinct count)
+                    mf = config.solver.max_features
+                    buf = np.zeros((mf, 2))
+                    buf[: len(ids_w)] = norm_w
+                    uv_all = np.asarray(
+                        normalized_to_pixel(cam, jnp.asarray(buf, jnp.float32)), np.float64)
+                    uv_w = uv_all[: len(ids_w)]
                 loop = pgraph.add_keyframe(
                     tt, p, q, img=img, cam=cam,
                     win_uv=uv_w, win_pts3d=pts3d_w, win_ids=ids_w,
@@ -214,6 +223,106 @@ def run_euroc(
             pg_file = os.path.join(pg_file, "pose_graph.npz")
         pgraph.save(pg_file)
     return np.asarray(ts_out), np.asarray(ps_out), np.asarray(qs_out), est, pgraph
+
+
+def run_synthetic_large_window(
+    seq: SyntheticSequence,
+    config: PLSlamConfig | None = None,
+    frame_stride: int = 2,
+    kf_stride: int = 5,
+    rounds: int = 3,
+    num_iters: int = 8,
+    oracle_init: bool = True,
+):
+    """Live large-window mode (SURVEY.md §5.7 — beyond the reference).
+
+    Streams the sequence through the ordinary sliding-window estimator for
+    the LIVE trajectory, accumulating every `kf_stride`-th published frame as
+    a keyframe; then refines the FULL keyframe history with one
+    keyframe-partitioned consensus BA (`parallel.consensus`) — partitions of
+    window_size+1 keyframes solved in parallel (vmap; device-shardable on the
+    'kf_part' mesh axis), boundary-pose consensus between rounds. The
+    reference cannot do this at all: its Ceres window is hard-capped at 11
+    frames and older information survives only through the marginalization
+    prior; here the whole trajectory re-solves as a single nonlinear VI-BA.
+
+    Initialization is honest: partition states come from the LIVE (drifted)
+    estimates — positions/rotations from the streamed output, velocities by
+    finite differences, biases from the estimator's final window, inverse
+    depths re-triangulated from the live poses (no ground truth anywhere).
+
+    Returns (kf_t, live_p [K,3], refined_p [K,3], refined_q [K,4], est)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plslam.models import packing, triangulate
+    from plslam.models.state import layout, zero_state
+    from plslam.parallel import consensus
+    from plslam.utils import quat_np as qnp
+
+    config = config or PLSlamConfig()
+    cfg = config.solver
+    lay = layout(cfg)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    # ---- live pass: ordinary sliding-window streaming ----
+    ts, ps, qs, est = run_synthetic(seq, config, oracle_init=oracle_init,
+                                    use_lines=False, frame_stride=frame_stride)
+    # map published outputs back to sequence frame indices by timestamp
+    frame_t = np.asarray(seq.frame_t)
+    out_idx = np.searchsorted(frame_t, np.asarray(ts) - 1e-9)
+    # keyframes: every kf_stride-th published frame, trimmed to FULL
+    # partitions — consensus_solve chain-aligns partitions through exactly
+    # one shared boundary frame, so the history must be P·window + 1 long
+    # (partition_frames' ragged tail partition would break the chain)
+    kf_sel = np.arange(0, len(ts), kf_stride)
+    n_kf = len(kf_sel)
+    if n_kf < cfg.window_size + 2:
+        raise ValueError(f"only {n_kf} keyframes — need > window_size+1")
+    n_kf = ((n_kf - 1) // cfg.window_size) * cfg.window_size + 1
+    kf_sel = kf_sel[:n_kf]
+    kf_frames = out_idx[kf_sel]
+    live_p = np.asarray(ps)[kf_sel]
+    live_q = np.asarray(qs)[kf_sel]
+    live_t = np.asarray(ts)[kf_sel]
+    # finite-difference velocity initialization from the live trajectory
+    live_v = np.gradient(live_p, live_t, axis=0)
+
+    # ---- partition + pack the full keyframe history ----
+    parts = consensus.partition_frames(n_kf, cfg.window_size)
+    nw = cfg.window_size + 1
+    states, factors = [], []
+    ba = np.asarray(est.ba[cfg.window_size])
+    bg = np.asarray(est.bg[cfg.window_size])
+    for pr in parts:
+        frames = [int(kf_frames[i]) for i in pr]
+        _, f = packing.factors_from_synthetic(seq, frames, cfg, lay, dtype=dtype,
+                                              with_lines=False)
+        st = zero_state(cfg, dtype)._replace(
+            p=jnp.asarray(live_p[pr], dtype),
+            q=jnp.asarray(live_q[pr], dtype),
+            v=jnp.asarray(live_v[pr], dtype),
+            ba=jnp.asarray(np.tile(ba, (nw, 1)), dtype),
+            bg=jnp.asarray(np.tile(bg, (nw, 1)), dtype),
+            p_bc=jnp.asarray(np.asarray(seq.p_bc), dtype),
+            q_bc=jnp.asarray(np.asarray(seq.q_bc), dtype),
+        )
+        # re-triangulate landmark depths from the LIVE poses (no GT)
+        q_wc = qnp.quat_mul(live_q[pr], np.asarray(seq.q_bc))
+        p_wc = live_p[pr] + qnp.quat_rotate(live_q[pr], np.broadcast_to(
+            np.asarray(seq.p_bc), live_p[pr].shape))
+        inv_d, ok = triangulate.triangulate_points(
+            jnp.asarray(p_wc, dtype), jnp.asarray(q_wc, dtype),
+            f.pt_obs, f.pt_mask, f.pt_start)
+        inv_d = jnp.where(ok & (inv_d > 0), inv_d, 0.2)
+        st = st._replace(inv_depth=inv_d * f.pt_valid + 0.2 * (1 - f.pt_valid))
+        states.append(st)
+        factors.append(f)
+    stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
+    st_out = consensus.consensus_solve(stack(states), stack(factors), lay, cfg,
+                                       rounds=rounds, num_iters=num_iters)
+    ref_p, ref_q = consensus.stitch_trajectory(st_out, parts, n_kf)
+    return live_t, live_p, ref_p, ref_q, est
 
 
 def _clahe(img, clip=3.0, tiles=8):
