@@ -130,9 +130,8 @@ class Estimator:
         self.last_acc = None
         self.last_gyr = None
         self.metrics: list[dict] = []
-        self._last_factors = None
-        self._last_state = None
-        self._last_groups = None
+        self._pending_prior = None
+        self._kf_snapshot = None
         self.relo: Optional[dict] = None  # pending relocalization frame
         self.relo_result: Optional[dict] = None  # refined relative pose out
 
@@ -251,18 +250,8 @@ class Estimator:
                     self.metrics.append(m)
                     return m
 
-        # ------------------------------------------------ solve odometry
-        self._triangulate()
-        stats = self._optimize()
-        m.update(
-            cost0=float(stats.cost0), cost=float(stats.cost),
-            cost_robust0=float(stats.cost_robust0),
-            cost_robust=float(stats.cost_robust),
-            iters_accepted=int(stats.accepted),
-            n_pts=int(self.pt_table.used_in_solver().sum()),
-            n_lines=int(self.ln_table.usable().sum()),
-        )
-        self._reject_outliers()
+        # ---------------- solve odometry (ONE fused device program) ----------
+        m.update(self._solve_odometry(marg_flag))
 
         if self._failure_detection():
             m["failure"] = True
@@ -270,7 +259,7 @@ class Estimator:
             self.clear_state()
             return m
 
-        self._marginalize_and_slide(marg_flag)
+        self._slide(marg_flag)
         self.metrics.append(m)
         return m
 
@@ -298,20 +287,12 @@ class Estimator:
                          q=np.asarray(relo_q, np.float64))
         return True
 
-    def _extract_relo_result(self, st: WindowState):
+    def _extract_relo_result(self, p_old, q_old, p_cur, q_cur):
         """Relative pose old-kf ← newest window frame after the joint solve
-        (the reference's `relo_relative_t/q` published back to the pose graph)."""
-        from plslam.utils.geometry import quat_conj, quat_mul, quat_rotate
-
-        nw = self.cfg.window_size
-        q_old = np.array(st.relo_q, np.float64)
-        p_old = np.array(st.relo_p, np.float64)
-        q_cur = np.array(st.q[nw], np.float64)
-        p_cur = np.array(st.p[nw], np.float64)
-        q_rel = np.asarray(quat_mul(quat_conj(jnp.asarray(q_old)), jnp.asarray(q_cur)))
-        t_rel = np.asarray(
-            quat_rotate(quat_conj(jnp.asarray(q_old)), jnp.asarray(p_cur - p_old))
-        )
+        (the reference's `relo_relative_t/q` published back to the pose graph).
+        Pure numpy — runs on already-pulled bundle values."""
+        q_rel = qnp.quat_mul(qnp.quat_conj(q_old), q_cur)
+        t_rel = qnp.quat_rotate(qnp.quat_conj(q_old), p_cur - p_old)
         self.relo_result = dict(t=t_rel, q=q_rel, p_old=p_old, q_old=q_old)
         self.relo = None
 
@@ -396,120 +377,95 @@ class Estimator:
             f = marg.install_prior(f, self.prior)
         return f
 
-    def _writeback(self, st: WindowState):
-        # np.array (not asarray): device arrays view as read-only
-        self.p = np.array(st.p, np.float64)
-        self.q = np.array(st.q, np.float64)
-        self.v = np.array(st.v, np.float64)
-        self.ba = np.array(st.ba, np.float64)
-        self.bg = np.array(st.bg, np.float64)
-        self.p_bc = np.array(st.p_bc, np.float64)
-        self.q_bc = np.array(st.q_bc, np.float64)
-        self.td = float(st.td)
-        inv = np.asarray(st.inv_depth, np.float64)
-        used = self.pt_table.used_in_solver()
-        self.pt_table.inv_depth[used] = inv[used]
-        # `FeatureManager::removeFailures` (solve_flag == 2): a feature whose
-        # SOLVED inverse depth comes back non-positive is geometrically
-        # inconsistent — drop it entirely. Keeping it would re-triangulate it
-        # from the current (drifted) poses every frame and feed the bad
-        # geometry back into the next solve (and pin a table slot forever).
-        failed = used & (inv <= 0)
-        if np.any(failed):
-            self.pt_table.drop(np.nonzero(failed)[0])
-        self.line_w = np.array(st.line, np.float64)
-
     # --------------------------------------------------------------- solving
     def _cam_poses_np(self):
         q_wc = qnp.quat_mul(self.q, self.q_bc[None, :])
         p_wc = self.p + qnp.quat_rotate(self.q, np.broadcast_to(self.p_bc, self.p.shape))
         return p_wc, q_wc
 
-    def _triangulate(self):
-        """`FeatureManager::triangulate` + `triangulateLine`."""
-        p_wc, q_wc = self._cam_poses_np()
-        p_wc_j = jnp.asarray(p_wc, self.dtype)
-        q_wc_j = jnp.asarray(q_wc, self.dtype)
-        tbl = self.pt_table
-        need = tbl.solvable() & (tbl.inv_depth <= 0)
-        if np.any(need):
-            inv_d, ok = triangulate.triangulate_points(
-                p_wc_j, q_wc_j,
-                asdev(tbl.obs, self.dtype),
-                asdev(tbl.mask.astype(np.float64), self.dtype),
-                asdev(tbl.start),
-            )
-            inv_d = np.asarray(inv_d, np.float64)
-            ok = np.asarray(ok)
-            commit = need & ok
-            tbl.inv_depth[commit] = inv_d[commit]
-            fallback = need & ~ok & (np.sum(tbl.mask, axis=1) >= 4)
-            tbl.inv_depth[fallback] = 1.0 / 5.0  # INIT_DEPTH
-        ltb = self.ln_table
-        lneed = ltb.active & ~ltb.solved & (np.sum(ltb.mask, axis=1) >= 2)
-        if np.any(lneed):
-            L, ok = triangulate.triangulate_lines(
-                p_wc_j, q_wc_j,
-                asdev(ltb.obs, self.dtype),
-                asdev(ltb.mask.astype(np.float64), self.dtype),
-                asdev(ltb.start),
-            )
-            L = np.asarray(L, np.float64)
-            ok = np.asarray(ok)
-            commit = lneed & ok
-            self.line_w[commit] = L[commit]
-            ltb.solved[commit] = True
-
-    def _optimize(self):
+    def _solve_odometry(self, marg_flag: int) -> dict:
+        """`solveOdometry()` + `optimization()` + outlier gating +
+        marginalization, dispatched as ONE device program with ONE packed
+        readback (`_backend_program`); this method does only the host
+        bookkeeping around it. Returns the per-frame metrics entries."""
         st = self._device_state()
         f = self._factors()
-        lp = self.cfg.line_param
-        if lp != "world":
-            # the estimator's canonical line store is world Plücker; anchored
-            # variants (`…_incamera`/`…_instartframe`) solve in the anchor
-            # chart and convert back with the UPDATED anchor poses — the line
-            # rides its first-observing frame exactly like the reference's
-            # factor variants
-            st = st._replace(line=res.lines_from_world(st, st.line, f.ln_start, lp))
-        st_out, stats = solver_mod.optimize_window(
-            st, f, self.lay, self.cfg,
-            estimate_extrinsic=self.config.extrinsic.estimate_extrinsic > 0,
-            estimate_td=self.config.temporal.estimate_td,
-            num_iters=self.cfg.max_num_iterations,
-        )
-        if lp != "world":
-            st_out = st_out._replace(line=res.lines_to_world(st_out, f.ln_start, lp))
-        self._writeback(st_out)
-        self._last_factors = f
-        self._last_state = st_out
-        self._last_groups = stats.groups  # reused by marginalize_old's IRLS weights
-        if self.relo is not None:
-            self._extract_relo_result(st_out)
-        return stats
+        tbl, ltb = self.pt_table, self.ln_table
+        nw, MF, ML = self.cfg.window_size, self.cfg.max_features, self.cfg.max_line_feats
+        solvable = tbl.solvable()
+        tri_need = solvable & (tbl.inv_depth <= 0)
+        fb4 = np.sum(tbl.mask, axis=1) >= 4
+        ln_active2 = ltb.active & (np.sum(ltb.mask, axis=1) >= 2)
+        lneed = ln_active2 & ~ltb.solved
+        mode = ("old" if marg_flag == MARGIN_OLD
+                else ("new" if self.prior is not None else "none"))
+        fmask = lambda a: asdev(a.astype(np.float64), self.dtype)
+        prior, bundle_dev = _backend_program(
+            st, f, fmask(solvable), fmask(tri_need), fmask(fb4),
+            fmask(lneed), fmask(ln_active2),
+            self.lay, self.cfg,
+            ee=self.config.extrinsic.estimate_extrinsic > 0,
+            etd=self.config.temporal.estimate_td,
+            iters=self.cfg.max_num_iterations,
+            marg_mode=mode)
+        self._pending_prior = prior if mode != "none" else None
+        # np.array (copy): device views are read-only, host state is mutated
+        b = np.array(bundle_dev, np.float64)  # the ONE readback
 
-    def _reject_outliers(self):
-        """`removeOutlier` / `removeLineOutlier`: reprojection gating.
+        NW = nw + 1
+        off = 0
 
-        Reuses the solver's carried residual groups (`SolveStats.groups` —
-        the unweighted whitened residuals at the final state) instead of
-        re-dispatching two residual-stack evaluations per frame: the vision
-        residuals are gauge-invariant, so the solver's pre-reanchor carry is
-        exactly `point_residuals(_last_state, …)` (anchored line charts match
-        to f32 round-trip noise — harmless for a 10 px gate)."""
-        f = self._last_factors
-        _, _, r_pt_dev, r_ln_dev, _ = self._last_groups
-        r_pt = np.asarray(r_pt_dev)
-        err_px = np.linalg.norm(r_pt, axis=-1) * 1.5  # whitened → pixels
-        per_feat = np.where(np.asarray(f.pt_mask) > 0, err_px, 0.0).max(axis=1)
-        bad = (np.asarray(f.pt_valid) > 0) & (per_feat > 10.0)
+        def take(n, shape=None):
+            nonlocal off
+            v = b[off: off + n]
+            off += n
+            return v.reshape(shape) if shape else v
+
+        self.p = take(NW * 3, (NW, 3))
+        self.q = take(NW * 4, (NW, 4))
+        self.v = take(NW * 3, (NW, 3))
+        self.ba = take(NW * 3, (NW, 3))
+        self.bg = take(NW * 3, (NW, 3))
+        self.p_bc = take(3)
+        self.q_bc = take(4)
+        self.td = float(take(1)[0])
+        relo_p = take(3)
+        relo_q = take(4)
+        inv = take(MF)
+        self.line_w = take(ML * 6, (ML, 6))
+        commit = take(MF) > 0
+        lcommit = take(ML) > 0
+        pt_valid = take(MF) > 0
+        ln_solved = take(ML) > 0
+        pt_err = take(MF)
+        ln_err = take(ML)
+        p_w = take(MF * 3, (MF, 3))
+        cost0, cost, cr0, cr, acc = take(5)
+
+        # triangulation commits + solved-depth writeback + removeFailures
+        ltb.solved |= lcommit
+        tbl.inv_depth[pt_valid] = inv[pt_valid]
+        failed = pt_valid & (inv <= 0)
+        if np.any(failed):
+            tbl.drop(np.nonzero(failed)[0])
+        # removeOutlier / removeLineOutlier (10 px reprojection gates)
+        bad = pt_valid & (pt_err > 10.0)
         if np.any(bad):
-            self.pt_table.drop(np.nonzero(bad)[0])
-        r_ln = np.asarray(r_ln_dev)
-        err_ln = np.abs(r_ln).max(axis=-1) * 1.5
-        per_line = np.where(np.asarray(f.ln_mask) > 0, err_ln, 0.0).max(axis=1)
-        badl = (np.asarray(f.ln_valid) > 0) & (per_line > 10.0)
+            tbl.drop(np.nonzero(bad)[0])
+        badl = ln_solved & (ln_err > 10.0)
         if np.any(badl):
-            self.ln_table.drop(np.nonzero(badl)[0])
+            ltb.drop(np.nonzero(badl)[0])
+        # keyframe payload snapshot (window_points) — post-drop, pre-slide
+        kf_m = pt_valid & (tbl.mask[:, nw] > 0) & (tbl.ids >= 0)
+        self._kf_snapshot = (tbl.ids[kf_m].copy(), tbl.obs[kf_m, nw].copy(),
+                             p_w[kf_m].copy())
+        if self.relo is not None:
+            self._extract_relo_result(relo_p, relo_q, self.p[nw], self.q[nw])
+        return dict(
+            cost0=float(cost0), cost=float(cost), cost_robust0=float(cr0),
+            cost_robust=float(cr), iters_accepted=int(acc),
+            n_pts=int(pt_valid.sum()), n_lines=int(ln_solved.sum()),
+        )
 
     def _failure_detection(self) -> bool:
         """`Estimator::failureDetection` (SURVEY.md §5.3)."""
@@ -522,13 +478,12 @@ class Estimator:
         return False
 
     # ---------------------------------------------------------------- slide
-    def _marginalize_and_slide(self, flag: int):
-        st = self._last_state
-        f = self._last_factors
+    def _slide(self, flag: int):
+        """`slideWindow()` — the prior itself was already computed inside the
+        fused backend program (`_pending_prior`); this is pure host surgery."""
         nw = self.cfg.window_size
         if flag == MARGIN_OLD:
-            self.prior = marg.marginalize_old(
-                st, f, self.lay, self.cfg, groups=self._last_groups)
+            self.prior = self._pending_prior
             p_wc, q_wc = self._cam_poses_np()
             old0_p, old0_q = p_wc[0].copy(), q_wc[0].copy()
             self._roll_states()
@@ -538,7 +493,7 @@ class Estimator:
             self.pres.pop(1)
         else:
             if self.prior is not None:
-                self.prior = marg.marginalize_second_new(st, f, self.lay, self.cfg)
+                self.prior = self._pending_prior
             # merge interval (nw-1→nw) into (nw-2→nw-1): frame nw-1 dies
             merged = ImuBuffer.merged(self.imu_bufs[nw - 1], self.imu_bufs[nw])
             self.imu_bufs[nw - 1] = merged
@@ -583,23 +538,14 @@ class Estimator:
         observed in the newest solved frame — the keyframe payload the
         reference published on `/keyframe_point` (SURVEY.md §3.3).
 
-        Uses the PRE-slide solve snapshot (`_last_state`/`_last_factors`):
-        after `process_frame` returns, the table has already slid and the
-        newest column is cleared; feature SLOTS are stable across the slide,
-        so current table ids still label the snapshot's rows."""
-        f = self._last_factors
-        st = self._last_state
-        if f is None or st is None:
+        Uses the PRE-slide solve snapshot captured by `_solve_odometry`
+        (the table has already slid by the time callers run; the snapshot's
+        world points came out of the fused backend bundle — no extra device
+        readback here)."""
+        if self._kf_snapshot is None:
             return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
-        k = self.cfg.window_size
-        ids = self.pt_table.ids
-        m = (np.asarray(f.pt_valid) * np.asarray(f.pt_mask)[:, k] > 0) & (ids >= 0)
-        sel = np.nonzero(m)[0]
-        if len(sel) == 0:
-            return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
-        p_w = np.asarray(_world_points_jit(st, f), np.float64)
-        obs = np.asarray(f.pt_obs, np.float64)
-        return ids[sel].copy(), obs[sel, k], p_w[sel]
+        ids, obs, p_w = self._kf_snapshot
+        return ids, obs, p_w
 
     def latest_pose(self):
         k = self.cfg.window_size if self.initialized else max(min(self.frame_count, self.cfg.window_size) - 1, 0)
@@ -632,3 +578,80 @@ def _preint_jit(acc, gyr, dts, ba, bg, noise):
 def _world_points_jit(st, f):
     # one dispatch per keyframe instead of the ~20-op eager chain
     return res._world_points(st, f)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("lay", "cfg", "ee", "etd", "iters", "marg_mode"))
+def _backend_program(st, f, solvable, tri_need, fb4, lneed, ln_active2,
+                     lay, cfg, ee: bool, etd: bool, iters: int, marg_mode: str):
+    """The WHOLE per-frame backend as one XLA program: triangulation →
+    window solve → marginalization → outlier/stats extraction, returning the
+    prior (device-resident) plus ONE packed host bundle.
+
+    A fresh device→host readback costs ~25–50 ms through the TPU tunnel
+    regardless of size (measured 2026-08: H2D ~1 GB/s, execution fast,
+    readback latency flat) — the former split path paid it ~10× per frame
+    (triangulate pulls, 10-array writeback, outlier pulls ≈ 0.9 s/frame).
+
+    marg_mode: 'old' (MARGIN_OLD), 'new' (MARGIN_SECOND_NEW with a live
+    prior), or 'none'."""
+    from plslam.models.state import cam_poses
+
+    dtype = st.p.dtype
+    lp = cfg.line_param
+    # ---- FeatureManager::triangulate/triangulateLine at pre-solve poses ----
+    p_wc, q_wc = cam_poses(st)
+    inv_tri, ok = triangulate.triangulate_points(p_wc, q_wc, f.pt_obs, f.pt_mask, f.pt_start)
+    okf = ok.astype(dtype)
+    commit = tri_need * okf
+    inv0 = jnp.where(commit > 0, inv_tri, st.inv_depth)
+    inv0 = jnp.where((tri_need * (1.0 - okf) * fb4) > 0, 1.0 / 5.0, inv0)  # INIT_DEPTH
+    L_tri, okl = triangulate.triangulate_lines(p_wc, q_wc, f.ln_obs, f.ln_mask, f.ln_start)
+    oklf = okl.astype(dtype)
+    lcommit = lneed * oklf
+    line0 = jnp.where(lcommit[:, None] > 0, L_tri, st.line)
+    # post-triangulation validity (used_in_solver / usable semantics)
+    pt_valid = solvable * ((st.inv_depth > 0) | (commit > 0)
+                           | ((tri_need * (1.0 - okf) * fb4) > 0)).astype(dtype)
+    ln_solved = ln_active2 * jnp.maximum(f.ln_valid, lcommit)  # prev solved | new
+    st = st._replace(inv_depth=inv0, line=line0)
+    f = f._replace(pt_valid=pt_valid, ln_valid=ln_solved)
+
+    if lp != "world":
+        st = st._replace(line=res.lines_from_world(st, st.line, f.ln_start, lp))
+    st_out, stats = solver_mod.optimize_window(
+        st, f, lay, cfg, estimate_extrinsic=ee, estimate_td=etd, num_iters=iters)
+    if lp != "world":
+        st_out = st_out._replace(line=res.lines_to_world(st_out, f.ln_start, lp))
+
+    if marg_mode == "old":
+        prior = marg.marginalize_old(st_out, f, lay, cfg, groups=stats.groups)
+    elif marg_mode == "new":
+        prior = marg.marginalize_second_new(st_out, f, lay, cfg)
+    else:
+        prior = None
+
+    # ---- removeOutlier / removeLineOutlier gating metrics (from the solver's
+    # carried residual groups — no re-evaluation) ----
+    _, _, r_pt, r_ln, _ = stats.groups
+    err_px = jnp.linalg.norm(r_pt, axis=-1) * 1.5  # whitened → pixels
+    pt_err = jnp.max(jnp.where(f.pt_mask > 0, err_px, 0.0), axis=1)
+    err_ln = jnp.max(jnp.abs(r_ln), axis=-1) * 1.5
+    ln_err = jnp.max(jnp.where(f.ln_mask > 0, err_ln, 0.0), axis=1)
+
+    p_w = res._world_points(st_out, f)  # keyframe payload (window_points)
+
+    bundle = jnp.concatenate([
+        st_out.p.reshape(-1), st_out.q.reshape(-1), st_out.v.reshape(-1),
+        st_out.ba.reshape(-1), st_out.bg.reshape(-1),
+        st_out.p_bc, st_out.q_bc, st_out.td[None],
+        st_out.relo_p, st_out.relo_q,
+        st_out.inv_depth, st_out.line.reshape(-1),
+        commit, lcommit, pt_valid, ln_solved,
+        pt_err, ln_err, p_w.reshape(-1),
+        jnp.stack([stats.cost0, stats.cost, stats.cost_robust0,
+                   stats.cost_robust, stats.accepted.astype(dtype)]),
+    ])
+    return prior, bundle

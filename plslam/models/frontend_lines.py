@@ -411,6 +411,74 @@ class FrontendLines:
         self.pallas = (jax.default_backend() == "tpu") if pallas is None else pallas
         self.prev = None  # (segs, desc, valid, ids)
         self.next_id = 0
+        self._prog = None
+
+    def _program(self):
+        """The whole line tick as ONE jitted program carrying device-resident
+        state (segments, descriptors, validity, feature ids) — nothing is
+        read back on tracked-only frames; a published frame pulls ONE packed
+        bundle (a fresh D2H readback costs ~25–50 ms through the TPU tunnel
+        regardless of size)."""
+        if self._prog is not None:
+            return self._prog
+        cam, dtype = self.cam, self.dtype
+        max_lines, octaves = self.max_lines, self.octaves
+        binary, pallas = self.binary_desc, self.pallas
+
+        @partial(jax.jit, static_argnames=("have_oct1",))
+        def prog(img, oct1, have_oct1: bool, prev_segs, prev_desc, prev_valid,
+                 prev_ids, next_id):
+            all_segs, all_scores, all_valid = [], [], []
+            cur = img
+            for o in range(octaves):
+                mag, ang, edge = edge_map(cur)
+                segs_o, score_o, valid_o = detect_segments(
+                    mag, ang, edge, *cur.shape, max_out=max_lines)
+                s = float(2 ** o)
+                all_segs.append(segs_o * s)
+                all_scores.append(score_o * s)
+                all_valid.append(valid_o)
+                if o + 1 < octaves:
+                    if o == 0 and have_oct1:
+                        cur = oct1
+                    else:
+                        from plslam.models.frontend_points import _sep_conv
+
+                        k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+                        cur = _sep_conv(cur, k5)[::2, ::2]
+            segs, score, valid = merge_candidates(
+                jnp.concatenate(all_segs), jnp.concatenate(all_scores),
+                jnp.concatenate(all_valid), max_out=max_lines)
+            valid_f = valid.astype(dtype)
+            gx, gy = _scharr(img)
+            desc = lbd_descriptors(gx, gy, segs, valid_f)
+            if binary:
+                desc = binarize_lbd(desc)
+                m = match_lbd_binary(prev_desc, prev_segs, prev_valid,
+                                     desc, segs, valid_f, pallas=pallas)
+            else:
+                m = match_lbd(prev_desc, prev_segs, prev_valid, desc, segs, valid_f)
+            # id propagation on device: prev line i matched to cur j carries
+            # its id; unmatched valid cur lines get fresh consecutive ids
+            L = max_lines
+            ok_m = (m >= 0) & (prev_ids >= 0) & (prev_valid > 0)
+            tgt = jnp.where(ok_m, m, L)  # out-of-range drops
+            ids = jnp.full((L,), -1, jnp.int32).at[tgt].set(prev_ids, mode="drop")
+            newly = valid & (ids < 0)
+            rank = (jnp.cumsum(newly) - 1).astype(jnp.int32)
+            ids = jnp.where(newly, next_id + rank, ids)
+            ids = jnp.where(valid, ids, -1)
+            next1 = next_id + jnp.sum(newly).astype(jnp.int32)
+            sp = lift(cam, segs[:, 0:2])
+            ep = lift(cam, segs[:, 2:4])
+            bundle = jnp.concatenate([
+                sp, ep, valid_f[:, None],
+                jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None],
+            ], axis=1)  # [L,6]
+            return (segs, desc, valid_f, ids, next1), bundle
+
+        self._prog = prog
+        return prog
 
     def _detect_multiscale(self, img_j, oct1=None):
         """Detect on an octave pyramid and merge (the reference's
@@ -445,39 +513,33 @@ class FrontendLines:
         )
         return np.asarray(segs, np.float64), np.asarray(score), np.asarray(valid)
 
-    def process(self, img: np.ndarray, t: float, oct1=None):
-        """One frame tick. Returns (ids, normalized segments [n,4]).
-        `oct1`: optional shared half-res image (see `_detect_multiscale`)."""
-        img_j = jnp.asarray(img, self.dtype)
-        h, w = img.shape
-        segs, score, valid = self._detect_multiscale(img_j, oct1)
-        segs = jnp.asarray(segs, self.dtype)
-        valid = jnp.asarray(valid)
-        gx, gy = _scharr(img_j)
-        desc = lbd_descriptors(gx, gy, segs, valid.astype(self.dtype))
-        if self.binary_desc:
-            desc = binarize_lbd(desc)
-
-        ids = np.full(self.max_lines, -1, np.int64)
-        if self.prev is not None:
-            psegs, pdesc, pvalid, pids = self.prev
-            if self.binary_desc:
-                m = np.asarray(match_lbd_binary(
-                    pdesc, psegs, pvalid, desc, jnp.asarray(segs),
-                    valid.astype(self.dtype), pallas=self.pallas))
-            else:
-                m = np.asarray(match_lbd(pdesc, psegs, pvalid, desc, jnp.asarray(segs), valid.astype(self.dtype)))
-            for i, j in enumerate(m):
-                if j >= 0 and pids[i] >= 0:
-                    ids[j] = pids[i]
-        newly = np.nonzero((ids < 0) & np.asarray(valid))[0]
-        ids[newly] = np.arange(self.next_id, self.next_id + len(newly))
-        self.next_id += len(newly)
-        self.prev = (jnp.asarray(segs), desc, valid.astype(self.dtype), ids)
-
-        v = np.asarray(valid)
-        segs_np = np.asarray(segs, np.float64)
-        sp = np.asarray(lift(self.cam, jnp.asarray(segs_np[:, 0:2], self.dtype)), np.float64)
-        ep = np.asarray(lift(self.cam, jnp.asarray(segs_np[:, 2:4], self.dtype)), np.float64)
+    def process(self, img, t: float, oct1=None, want_output: bool = True):
+        """One frame tick. With want_output=True pulls ONE bundle and returns
+        (ids, normalized segments [n,4]); with want_output=False everything
+        stays on device and returns None (non-published FREQ-control frames).
+        `img` may be a host array or an already-uploaded device array;
+        `oct1`: optional shared half-res device image (the point pyramid's
+        level 1)."""
+        prog = self._program()
+        img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
+        if self.prev is None:
+            desc_shape = ((self.max_lines, _N_LBD_BITS // 32) if self.binary_desc
+                          else (self.max_lines, N_BANDS * 8))
+            desc0 = (jnp.zeros(desc_shape, jnp.uint32) if self.binary_desc
+                     else jnp.zeros(desc_shape, self.dtype))
+            self.prev = (jnp.zeros((self.max_lines, 4), self.dtype), desc0,
+                         jnp.zeros((self.max_lines,), self.dtype),
+                         jnp.full((self.max_lines,), -1, jnp.int32),
+                         jnp.zeros((), jnp.int32))
+        have = oct1 is not None
+        oct1_j = (jnp.asarray(oct1, self.dtype) if have
+                  else jnp.zeros((2, 2), self.dtype))
+        self.prev, bundle = prog(img_j, oct1_j, have, *self.prev)
+        if not want_output:
+            return None
+        b = np.array(bundle)  # the ONE readback (f32 — ids are bitcast bits)
+        sp, ep = b[:, 0:2].astype(np.float64), b[:, 2:4].astype(np.float64)
+        v = b[:, 4] > 0
+        ids = b[:, 5].copy().view(np.int32).astype(np.int64)
         out = v & (ids >= 0)
         return ids[out], np.concatenate([sp[out], ep[out]], axis=1)

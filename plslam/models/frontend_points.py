@@ -420,7 +420,15 @@ def fundamental_ransac(p1, p2, valid, thresh, iters: int = 100, key=None):
 
 # ------------------------------------------------------------------- driver
 class FrontendPoints:
-    """Host orchestration (`FeatureTracker` class equivalent)."""
+    """Host orchestration (`FeatureTracker` class equivalent).
+
+    The ENTIRE per-frame tick — pyramid, LK, rejectWithF RANSAC, detection,
+    slot refill, feature-id assignment, track counts, per-feature velocity —
+    runs as ONE jitted device program carrying device-resident slot state.
+    Nothing is read back on tracked-only frames; a published frame pulls ONE
+    packed bundle. (Measured on the TPU tunnel: a fresh device→host readback
+    costs ~25–50 ms regardless of size, so readback count IS the frame
+    budget; execution and H2D are fast.)"""
 
     def __init__(self, cam: PinholeRadTan, max_cnt=150, min_dist=30, f_thresh_px=1.0,
                  focal=460.0, dtype=jnp.float32, use_pallas: bool | None = None,
@@ -438,112 +446,130 @@ class FrontendPoints:
         # per-feature Pallas kernel stays available for comparison
         self.use_pallas = False if use_pallas is None else use_pallas
         self.prev_pyr = None
-        self.prev_uv = np.zeros((max_cnt, 2), np.float64)
-        self.prev_valid = np.zeros(max_cnt, bool)
-        self.ids = np.full(max_cnt, -1, np.int64)
-        self.track_cnt = np.zeros(max_cnt, np.int64)
-        self.prev_norm = np.zeros((max_cnt, 2), np.float64)
-        self.prev_norm_prev_frame = np.zeros((max_cnt, 2), np.float64)
-        self.had_prev_frame = np.zeros(max_cnt, bool)
+        self._state = None  # device: (uv, valid, norm, ids, track_cnt, next_id)
         self.prev_t = None
-        self.next_id = 0
         self._key = jax.random.PRNGKey(7)
+        self._frame_i = 0
+        self._prog = None
+        self._det_prog = None
+        # host mirrors of the last PULLED frame (viz / debugging only)
+        self.prev_valid = np.zeros(max_cnt, bool)
+        self.track_cnt = np.zeros(max_cnt, np.int64)
 
-    def _in_fov(self, uv: np.ndarray, shape) -> np.ndarray:
-        """Circular fisheye mask check (pixel coords → bool)."""
-        h, w = shape
-        r = 0.5 * min(h, w) - 3.0
-        d2 = (uv[:, 0] - w / 2.0) ** 2 + (uv[:, 1] - h / 2.0) ** 2
-        return d2 <= r * r
+    # ------------------------------------------------------------- programs
+    def _programs(self):
+        if self._prog is not None:
+            return self._prog, self._det_prog
+        cam, dtype = self.cam, self.dtype
+        cell, N = self.min_dist, self.max_cnt
+        use_pallas, fisheye = self.use_pallas, self.fisheye
 
-    def process(self, img: np.ndarray, t: float):
-        """One frame tick (`FeatureTracker::readImage`). Returns
-        (ids, normalized pts, velocities, pixel uv) of tracked+new features."""
-        img_j = jnp.asarray(img, self.dtype)
-        pyr = build_pyramid(img_j, levels=auto_levels(img.shape))
-        if self.prev_pyr is not None and self.prev_valid.any():
-            if self.use_pallas:
+        def in_fov(uv, shape):
+            h, w = shape
+            r = 0.5 * min(h, w) - 3.0
+            d2 = (uv[:, 0] - w / 2.0) ** 2 + (uv[:, 1] - h / 2.0) ** 2
+            return d2 <= r * r
+
+        def pack(uv, norm, vel, valid, ids, track_cnt):
+            return jnp.concatenate([
+                uv, norm, vel, valid.astype(dtype)[:, None],
+                jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None].astype(dtype),
+                track_cnt.astype(dtype)[:, None],
+            ], axis=1)  # [N,9]
+
+        @jax.jit
+        def prog(pyr_prev, img_new, state, f_thresh, key, dt, min_score):
+            uv0, valid0, norm0, ids0, cnt0, next_id = state
+            pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
+            if use_pallas:
                 from plslam.ops.kernels.lk import lk_track_pallas
 
-                uv, status = lk_track_pallas(
-                    self.prev_pyr, pyr,
-                    asdev(self.prev_uv, self.dtype),
-                    asdev(self.prev_valid),
-                )
+                track_uv, status = lk_track_pallas(pyr_prev, pyr_new, uv0, valid0)
             else:
-                uv, status = lk_track_fast(
-                    self.prev_pyr, pyr,
-                    asdev(self.prev_uv, self.dtype),
-                    asdev(self.prev_valid),
-                )
-            uv = np.asarray(uv, np.float64)
-            status = np.asarray(status)
-            if self.fisheye:
-                status = status & self._in_fov(uv, img.shape)
-            # fundamental RANSAC on normalized coords
-            norm = np.asarray(lift(self.cam, jnp.asarray(uv, self.dtype)), np.float64)
-            if status.sum() >= 8:
-                self._key, sub = jax.random.split(self._key)
-                inl = fundamental_ransac(
-                    asdev(self.prev_norm, self.dtype),
-                    jnp.asarray(norm, self.dtype),
-                    jnp.asarray(status),
-                    asdev(self.f_thresh, self.dtype),
-                    key=sub,
-                )
-                status = status & np.asarray(inl)
-            self.prev_uv = uv
-            self.prev_valid = status
-            self.ids[~status] = -1
-            self.track_cnt[~status] = 0
-            self.track_cnt[status] += 1
-            self.prev_norm = norm
-        # detect new features in free cells
-        n_active = int(self.prev_valid.sum())
-        n_new = self.max_cnt - n_active
-        if n_new > 0:
-            uv_new, score = shi_tomasi_grid(
-                pyr[0],
-                asdev(self.prev_uv, self.dtype),
-                asdev(self.prev_valid, self.dtype),
-                cell=self.min_dist,
-                max_out=self.max_cnt,
-            )
-            uv_new = np.asarray(uv_new, np.float64)
-            score = np.asarray(score)
-            if self.fisheye:
-                score = score * self._in_fov(uv_new, img.shape)
-            free = np.nonzero(~self.prev_valid)[0]
-            take = min(len(free), n_new)
-            sel = np.nonzero(score > self.min_score)[0][:take]
-            slots = free[: len(sel)]
-            self.prev_uv[slots] = uv_new[sel]
-            self.prev_valid[slots] = True
-            self.ids[slots] = np.arange(self.next_id, self.next_id + len(sel))
-            self.next_id += len(sel)
-            self.track_cnt[slots] = 1
-            if len(sel):
-                # lift the FULL fixed-shape table, slice on host: lifting
-                # just `slots` recompiles `lift` for every distinct new
-                # -feature count (seconds per compile through the TPU tunnel)
-                norm_all = np.asarray(
-                    lift(self.cam, asdev(self.prev_uv, self.dtype)), np.float64
-                )
-                self.prev_norm[slots] = norm_all[slots]
-        # per-feature normalized-coordinate velocity (`undistortedPoints`)
-        vel = np.zeros_like(self.prev_norm)
-        if self.prev_t is not None:
-            dt = max(t - self.prev_t, 1e-6)
-            moved = self.prev_valid & self.had_prev_frame
-            vel[moved] = (self.prev_norm[moved] - self.prev_norm_prev_frame[moved]) / dt
-        self.prev_norm_prev_frame = self.prev_norm.copy()
-        self.had_prev_frame = self.prev_valid.copy()
-        self.prev_pyr = pyr
+                track_uv, status = lk_track_fast(pyr_prev, pyr_new, uv0, valid0)
+            ok = status & valid0
+            if fisheye:
+                ok = ok & in_fov(track_uv, img_new.shape)
+            norm_t = lift(cam, track_uv)
+            inl = fundamental_ransac(norm0, norm_t, ok, f_thresh, key=key)
+            ok = jnp.where(jnp.sum(ok) >= 8, ok & inl, ok)  # host path skipped <8
+            det_uv, det_sc = shi_tomasi_grid(pyr_new[0], track_uv, ok.astype(dtype),
+                                             cell=cell, max_out=N)
+            det_norm = lift(cam, det_uv)
+            det_good = det_sc > min_score
+            if fisheye:
+                det_good = det_good & in_fov(det_uv, img_new.shape)
+            # refill: free slot of rank r takes candidate r (candidates are
+            # score-sorted and the quality gate is monotone in score, so good
+            # candidates are a prefix — identical to the compacting host loop)
+            fr = jnp.cumsum(~ok) - 1  # free rank per slot
+            ci = jnp.clip(fr, 0, N - 1)
+            fill = (~ok) & det_good[ci]
+            valid1 = ok | fill
+            uv1 = jnp.where(fill[:, None], det_uv[ci], track_uv)
+            norm1 = jnp.where(fill[:, None], det_norm[ci], norm_t)
+            ids1 = jnp.where(ok, ids0,
+                             jnp.where(fill, next_id + fr.astype(jnp.int32), -1))
+            cnt1 = jnp.where(ok, cnt0 + 1, jnp.where(fill, 1, 0))
+            next1 = next_id + jnp.sum(fill).astype(jnp.int32)
+            # per-feature normalized velocity (`undistortedPoints`): only for
+            # slots genuinely TRACKED from the previous frame (the former
+            # host path could pair a refilled slot with its dead predecessor)
+            vel = jnp.where((ok & (dt > 0))[:, None], (norm_t - norm0) / jnp.maximum(dt, 1e-6), 0.0)
+            bundle = pack(uv1, norm1, vel, valid1, ids1, cnt1)
+            return tuple(pyr_new), (uv1, valid1, norm1, ids1, cnt1, next1), bundle
+
+        @jax.jit
+        def det_prog(img, min_score):
+            pyr = build_pyramid(img, levels=auto_levels(img.shape))
+            det_uv, det_sc = shi_tomasi_grid(
+                pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros((1,), dtype),
+                cell=cell, max_out=N)
+            det_norm = lift(cam, det_uv)
+            good = det_sc > min_score
+            if fisheye:
+                good = good & in_fov(det_uv, img.shape)
+            ids = jnp.where(good, jnp.cumsum(good) - 1, -1).astype(jnp.int32)
+            cnt = good.astype(jnp.int32)
+            next_id = jnp.sum(good).astype(jnp.int32)
+            state = (det_uv, good, det_norm, ids, cnt, next_id)
+            bundle = pack(det_uv, det_norm, jnp.zeros_like(det_uv), good, ids, cnt)
+            return tuple(pyr), state, bundle
+
+        self._prog, self._det_prog = prog, det_prog
+        return prog, det_prog
+
+    # --------------------------------------------------------------- ticking
+    def process(self, img, t: float, want_output: bool = True):
+        """One frame tick (`FeatureTracker::readImage`).
+
+        want_output=True pulls ONE packed bundle and returns
+        (ids, normalized pts, velocities, pixel uv) of valid features;
+        want_output=False keeps everything on device and returns None (the
+        FREQ-control non-published frames — SURVEY.md §2.1).
+        `img` may be a host array or an already-uploaded device array."""
+        prog, det_prog = self._programs()
+        img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
+        if self.prev_pyr is None:
+            self.prev_pyr, self._state, bundle = det_prog(
+                img_j, jnp.asarray(self.min_score, self.dtype))
+        else:
+            key = jax.random.fold_in(self._key, self._frame_i)
+            dt = (t - self.prev_t) if self.prev_t is not None else 0.0
+            self.prev_pyr, self._state, bundle = prog(
+                self.prev_pyr, img_j, self._state,
+                jnp.asarray(self.f_thresh, self.dtype), key,
+                jnp.asarray(dt, self.dtype), jnp.asarray(self.min_score, self.dtype))
+        self._frame_i += 1
         self.prev_t = t
-        out = self.prev_valid
-        return (
-            self.ids[out].copy(),
-            self.prev_norm[out].copy(),
-            vel[out].copy(),
-            self.prev_uv[out].copy(),
-        )
+        if not want_output:
+            return None
+        b = np.array(bundle)  # the ONE readback (f32 — ids are bitcast bits)
+        uv = b[:, 0:2].astype(np.float64)
+        norm = b[:, 2:4].astype(np.float64)
+        vel = b[:, 4:6].astype(np.float64)
+        valid = b[:, 6] > 0
+        ids = b[:, 7].copy().view(np.int32).astype(np.int64)
+        self.prev_valid = valid
+        self.track_cnt = b[:, 8].astype(np.int64)
+        return ids[valid], norm[valid], vel[valid], uv[valid]

@@ -158,16 +158,23 @@ def run_euroc(
                 pending = executor.submit(_load, k + 1)
         else:
             img = _load(k)
-        ids, pts, vel, uv = fp.process(img, t)
-        ln_ids = ln_segs = None
+        publish = k % stride == 0
+        want_pts = publish or viz is not None
+        out = fp.process(img, t, want_output=want_pts)
         if fLines is not None:
-            # share the point pyramid's level-1 image as the line octave
+            # share the point frontend's device-resident pyramid: level 0 IS
+            # the uploaded image (no second 1.4 MB H2D), level 1 the line
+            # octave (same 5-tap blur + decimate)
             oct1 = fp.prev_pyr[1] if fp.prev_pyr is not None and len(fp.prev_pyr) > 1 else None
-            ln_ids, ln_segs = fLines.process(img, t, oct1=oct1)
+            img_dev = fp.prev_pyr[0] if fp.prev_pyr is not None else img
+            ln_out = fLines.process(img_dev, t, oct1=oct1, want_output=publish)
         if viz is not None:
+            ids, pts, vel, uv = out
             viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])
-        if k % stride != 0:
-            continue  # tracked, not published
+        if not publish:
+            continue  # tracked on device, not published (FREQ control)
+        ids, pts, vel, uv = out
+        ln_ids, ln_segs = ln_out if fLines is not None else (None, None)
         n_pub += 1
         feeder.feed_until(est, t)
         m = est.process_frame(float(t), ids, pts, vel, ln_ids, ln_segs)

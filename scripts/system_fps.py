@@ -109,11 +109,10 @@ def measure():
     _wrap(FrontendPoints, "process", "frontend_points")
     _wrap(FrontendLines, "process", "frontend_lines")
     _wrap(Estimator, "process_frame", "process_frame")
-    _wrap(Estimator, "_triangulate", "  triangulate")
-    _wrap(Estimator, "_optimize", "  optimize")
+    _wrap(Estimator, "_solve_odometry", "  solve_odometry")
     _wrap(Estimator, "_factors", "    pack_factors")
-    _wrap(Estimator, "_reject_outliers", "  reject_outliers")
-    _wrap(Estimator, "_marginalize_and_slide", "  marginalize")
+    _wrap(Estimator, "_device_state", "    device_state")
+    _wrap(Estimator, "_slide", "  slide")
 
     t0 = time.perf_counter()
     ts, ps, qs, est, _ = runner.run_euroc(CACHE, cfg, use_lines=True)
@@ -127,8 +126,8 @@ def measure():
           f"{n_pub} published, {n_solved} solved", file=sys.stderr)
     print("\nphase breakdown (measured pass):", file=sys.stderr)
     for tag in ("frontend_points", "frontend_lines", "process_frame",
-                "  triangulate", "  optimize", "    pack_factors",
-                "  reject_outliers", "  marginalize"):
+                "  solve_odometry", "    pack_factors", "    device_state",
+                "  slide"):
         v = REC.get(tag, [])
         if not v:
             continue
