@@ -130,6 +130,7 @@ class Estimator:
         self.last_acc = None
         self.last_gyr = None
         self.metrics: list[dict] = []
+        self._pending = None  # deferred solve awaiting finalize()
         self._pending_prior = None
         self._kf_snapshot = None
         self.relo: Optional[dict] = None  # pending relocalization frame
@@ -156,18 +157,36 @@ class Estimator:
         # midpoint dead-reckoning on the newest slot (pure numpy — this runs
         # at IMU rate on the host, no device dispatches)
         k = min(self.frame_count, self.cfg.window_size)
+        self._deadreckon_step(k, self.last_acc, self.last_gyr, acc, gyr, dt)
+        self.last_acc, self.last_gyr = acc, gyr
+
+    def _deadreckon_step(self, k, acc0, gyr0, acc1, gyr1, dt):
         ba, bg = self.ba[k], self.bg[k]
         g = np.array([0.0, 0.0, self.config.imu.g_norm])
-        w_mid = 0.5 * (self.last_gyr + gyr) - bg
+        w_mid = 0.5 * (gyr0 + gyr1) - bg
         q_old = self.q[k].copy()
         q_new = qnp.quat_normalize(qnp.quat_mul(q_old, qnp.quat_exp(w_mid * dt)))
-        a0 = qnp.quat_rotate(q_old, self.last_acc - ba) - g
-        a1 = qnp.quat_rotate(q_new, acc - ba) - g
+        a0 = qnp.quat_rotate(q_old, acc0 - ba) - g
+        a1 = qnp.quat_rotate(q_new, acc1 - ba) - g
         a_mid = 0.5 * (a0 + a1)
         self.p[k] += self.v[k] * dt + 0.5 * a_mid * dt * dt
         self.v[k] += a_mid * dt
         self.q[k] = q_new
-        self.last_acc, self.last_gyr = acc, gyr
+
+    def _replay_open_buffer(self):
+        """Re-apply the dead-reckoning of IMU samples that arrived while a
+        deferred solve was in flight: their host prediction ran on the
+        pre-solve state, which the finalize writeback just replaced — replay
+        onto the solved (post-slide) state reproduces the synchronous path
+        bit-for-bit (the reference's `update()` re-bases its predictor the
+        same way)."""
+        buf = self.imu_bufs[-1]
+        if not buf.seeded or not buf.dt:
+            return
+        k = min(self.frame_count, self.cfg.window_size)
+        for i, dt in enumerate(buf.dt):
+            self._deadreckon_step(k, buf.acc[i], buf.gyr[i],
+                                  buf.acc[i + 1], buf.gyr[i + 1], dt)
 
     def _close_interval(self, k: int):
         """Preintegrate the interval ending at frame slot k."""
@@ -186,11 +205,19 @@ class Estimator:
 
     # ---------------------------------------------------------------- frames
     def process_frame(self, t: float, pt_ids, pt_obs, pt_vel=None, ln_ids=None, ln_obs=None,
-                      oracle_state: Optional[dict] = None):
+                      oracle_state: Optional[dict] = None, defer_solve: bool = False):
         """`Estimator::processImage`. Returns a per-frame metrics dict.
 
         oracle_state: optional {p,q,v} ground truth for the newest frame —
-        bootstrap mode standing in for `initialStructure()` in tests."""
+        bootstrap mode standing in for `initialStructure()` in tests.
+        defer_solve=True dispatches the fused solve program and returns
+        WITHOUT reading its results back; the caller overlaps other work with
+        the device round trip and `finalize()` (called automatically by the
+        next `process_frame`/`latest_pose`/`window_points`) completes the
+        frame — results are bit-identical to the synchronous path (buffered
+        IMU dead-reckoning is replayed onto the solved state, exactly like
+        the reference's `update()` re-basing its high-rate predictor)."""
+        self.finalize()
         fc = min(self.frame_count, self.cfg.window_size)
         # restart handshake (`feature_tracker_node` timestamp-jump detection →
         # estimator restart_callback): non-monotonic or >1 s gap ⇒ full reset
@@ -251,17 +278,36 @@ class Estimator:
                     return m
 
         # ---------------- solve odometry (ONE fused device program) ----------
-        m.update(self._solve_odometry(marg_flag))
+        bundle_dev, prior, mode = self._dispatch_solve(marg_flag)
+        # the next interval's open IMU buffer must exist at dispatch time so
+        # samples arriving before finalize() land in the right interval
+        self.imu_bufs.append(ImuBuffer())
+        self.pres.append(None)
+        self._pending = dict(bundle=bundle_dev, prior=prior, mode=mode,
+                             marg_flag=marg_flag, m=m)
+        if not defer_solve:
+            self.finalize()
+        return m
 
+    def finalize(self):
+        """Complete a deferred `process_frame`: pull the solve bundle, apply
+        the host-side table surgery / failure detection / window slide, then
+        replay the dead-reckoning of any IMU samples that arrived while the
+        solve was in flight. No-op when nothing is pending."""
+        if self._pending is None:
+            return
+        pend, self._pending = self._pending, None
+        m = pend["m"]
+        self._pending_prior = pend["prior"] if pend["mode"] != "none" else None
+        m.update(self._finish_solve(pend["bundle"]))
         if self._failure_detection():
             m["failure"] = True
             self.metrics.append(m)
             self.clear_state()
-            return m
-
-        self._slide(marg_flag)
+            return
+        self._slide(pend["marg_flag"])
+        self._replay_open_buffer()
         self.metrics.append(m)
-        return m
 
     # --------------------------------------------------------- relocalization
     def set_relo_frame(self, match_ids, match_obs_norm, relo_p, relo_q):
@@ -383,11 +429,11 @@ class Estimator:
         p_wc = self.p + qnp.quat_rotate(self.q, np.broadcast_to(self.p_bc, self.p.shape))
         return p_wc, q_wc
 
-    def _solve_odometry(self, marg_flag: int) -> dict:
+    def _dispatch_solve(self, marg_flag: int):
         """`solveOdometry()` + `optimization()` + outlier gating +
         marginalization, dispatched as ONE device program with ONE packed
-        readback (`_backend_program`); this method does only the host
-        bookkeeping around it. Returns the per-frame metrics entries."""
+        readback; `_finish_solve` does the host bookkeeping on the pulled
+        bundle. Returns (bundle_device, prior_device, marg_mode)."""
         st = self._device_state()
         f = self._factors()
         tbl, ltb = self.pt_table, self.ln_table
@@ -408,7 +454,15 @@ class Estimator:
             etd=self.config.temporal.estimate_td,
             iters=self.cfg.max_num_iterations,
             marg_mode=mode)
-        self._pending_prior = prior if mode != "none" else None
+        try:
+            bundle_dev.copy_to_host_async()  # start the RTT immediately
+        except Exception:
+            pass
+        return bundle_dev, prior, mode
+
+    def _finish_solve(self, bundle_dev) -> dict:
+        tbl, ltb = self.pt_table, self.ln_table
+        nw, MF, ML = self.cfg.window_size, self.cfg.max_features, self.cfg.max_line_feats
         # np.array (copy): device views are read-only, host state is mutated
         b = np.array(bundle_dev, np.float64)  # the ONE readback
 
@@ -511,8 +565,8 @@ class Estimator:
             self.timestamps[nw - 1] = self.timestamps[nw]
             self.pt_table.slide_new()
             self.ln_table.slide_new()
-        self.imu_bufs.append(ImuBuffer())
-        self.pres.append(None)
+        # NOTE: the next interval's open ImuBuffer was already appended at
+        # solve-dispatch time (deferred finalize must not lose samples)
 
     def _slide_uninitialized(self):
         """During failed initialization the reference always slides old."""
@@ -542,12 +596,14 @@ class Estimator:
         (the table has already slid by the time callers run; the snapshot's
         world points came out of the fused backend bundle — no extra device
         readback here)."""
+        self.finalize()
         if self._kf_snapshot is None:
             return np.zeros(0, np.int64), np.zeros((0, 2)), np.zeros((0, 3))
         ids, obs, p_w = self._kf_snapshot
         return ids, obs, p_w
 
     def latest_pose(self):
+        self.finalize()
         k = self.cfg.window_size if self.initialized else max(min(self.frame_count, self.cfg.window_size) - 1, 0)
         return self.timestamps[k], self.p[k].copy(), self.q[k].copy()
 

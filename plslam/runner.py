@@ -148,6 +148,57 @@ def run_euroc(
 
     ts_out, ps_out, qs_out = [], [], []
     feeder = ImuFeeder(seq.imu_t, seq.imu_acc, seq.imu_gyr)
+    deferred_ctx = None
+
+    def _emit(ctx):
+        """Trajectory + pose-graph output work for a published frame (runs
+        one published frame later in pipeline mode — `est.latest_pose()`
+        finalizes the deferred solve)."""
+        m, img_k = ctx
+        est.finalize()
+        # emit only frames that were actually solved (the serial loop's
+        # `if est.initialized` gate, evaluated at the frame's own time)
+        if "cost" not in m or m.get("failure") or not est.initialized:
+            return
+        tt, p, q = est.latest_pose()
+        if pgraph is not None and m.get("keyframe"):
+            ids_w, norm_w, pts3d_w = est.window_points()
+            from plslam.ops.cameras import normalized_to_pixel
+
+            uv_w = None
+            if len(ids_w):
+                # fixed-shape projection (a per-keyframe point count would
+                # recompile normalized_to_pixel for every distinct count)
+                mf = config.solver.max_features
+                buf = np.zeros((mf, 2))
+                buf[: len(ids_w)] = norm_w
+                uv_all = np.asarray(
+                    normalized_to_pixel(cam, jnp.asarray(buf, jnp.float32)), np.float64)
+                uv_w = uv_all[: len(ids_w)]
+            loop = pgraph.add_keyframe(
+                tt, p, q, img=img_k, cam=cam,
+                win_uv=uv_w, win_pts3d=pts3d_w, win_ids=ids_w,
+            )
+            if loop is not None and pgraph.last_match is not None:
+                # relocalization feedback (`/pose_graph/match_points` →
+                # `setReloFrame`): next solve refines the loop jointly
+                mm = pgraph.last_match
+                est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"])
+                if viz is not None and mm.get("old_img") is not None and mm.get("uv_cur") is not None:
+                    viz.match_image(img_k, mm["uv_cur"], mm["old_img"], mm["uv_old"],
+                                    tag=f"{mm['old_idx']}_{mm['cur_idx']}")
+            if (loop is not None and config.loop.fast_relocalization
+                    and loop["i"] < pgraph.base_n):
+                # loop edge lands in the LOADED map: snap the drift from
+                # this single edge immediately (`fast_relocalization`)
+                pgraph.fast_relocalize(loop)
+            if pgraph._pending_opt:
+                pgraph.optimize()
+            p, q = pgraph.correct(p, q)
+        ts_out.append(tt)
+        ps_out.append(p)
+        qs_out.append(q)
+
     for k in range(len(seq.cam_t)):
         if n_pub >= max_pub:
             break
@@ -176,49 +227,25 @@ def run_euroc(
         ids, pts, vel, uv = out
         ln_ids, ln_segs = ln_out if fLines is not None else (None, None)
         n_pub += 1
+        # publish-frame output work of the PREVIOUS published frame runs here
+        # — its deferred solve's round trip overlapped this frame's decode +
+        # tracking + frontend readbacks (the reference's frontend↔backend
+        # process overlap, SURVEY.md §2.6 PP; results bit-identical)
+        if deferred_ctx is not None:
+            _emit(deferred_ctx)
+            deferred_ctx = None
         feeder.feed_until(est, t)
-        m = est.process_frame(float(t), ids, pts, vel, ln_ids, ln_segs)
-        if est.initialized:
-            tt, p, q = est.latest_pose()
-            if pgraph is not None and m.get("keyframe"):
-                ids_w, norm_w, pts3d_w = est.window_points()
-                from plslam.ops.cameras import normalized_to_pixel
-
-                uv_w = None
-                if len(ids_w):
-                    # fixed-shape projection (a per-keyframe point count would
-                    # recompile normalized_to_pixel for every distinct count)
-                    mf = config.solver.max_features
-                    buf = np.zeros((mf, 2))
-                    buf[: len(ids_w)] = norm_w
-                    uv_all = np.asarray(
-                        normalized_to_pixel(cam, jnp.asarray(buf, jnp.float32)), np.float64)
-                    uv_w = uv_all[: len(ids_w)]
-                loop = pgraph.add_keyframe(
-                    tt, p, q, img=img, cam=cam,
-                    win_uv=uv_w, win_pts3d=pts3d_w, win_ids=ids_w,
-                )
-                if loop is not None and pgraph.last_match is not None:
-                    # relocalization feedback (`/pose_graph/match_points` →
-                    # `setReloFrame`): next solve refines the loop jointly
-                    mm = pgraph.last_match
-                    est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"])
-                    if viz is not None and mm.get("old_img") is not None and mm.get("uv_cur") is not None:
-                        viz.match_image(img, mm["uv_cur"], mm["old_img"], mm["uv_old"],
-                                        tag=f"{mm['old_idx']}_{mm['cur_idx']}")
-                if (loop is not None and config.loop.fast_relocalization
-                        and loop["i"] < pgraph.base_n):
-                    # loop edge lands in the LOADED map: snap the drift from
-                    # this single edge immediately (`fast_relocalization`)
-                    pgraph.fast_relocalize(loop)
-                if pgraph._pending_opt:
-                    pgraph.optimize()
-                p, q = pgraph.correct(p, q)
-            ts_out.append(tt)
-            ps_out.append(p)
-            qs_out.append(q)
+        m = est.process_frame(float(t), ids, pts, vel, ln_ids, ln_segs,
+                              defer_solve=pipeline)
+        ctx = (m, img)
+        if pipeline:
+            deferred_ctx = ctx
+        else:
+            _emit(ctx)
         if progress and k % 100 == 0:
             print(f"[{k}] t={t:.2f} init={est.initialized} pts={m.get('n_pts')} lines={m.get('n_lines')}")
+    if deferred_ctx is not None:
+        _emit(deferred_ctx)  # drain the last in-flight solve
     if executor is not None:
         executor.shutdown(wait=False, cancel_futures=True)
     if pgraph is not None and config.loop.save_pose_graph:

@@ -109,10 +109,11 @@ def measure():
     _wrap(FrontendPoints, "process", "frontend_points")
     _wrap(FrontendLines, "process", "frontend_lines")
     _wrap(Estimator, "process_frame", "process_frame")
-    _wrap(Estimator, "_solve_odometry", "  solve_odometry")
+    _wrap(Estimator, "_dispatch_solve", "  dispatch_solve")
     _wrap(Estimator, "_factors", "    pack_factors")
     _wrap(Estimator, "_device_state", "    device_state")
-    _wrap(Estimator, "_slide", "  slide")
+    _wrap(Estimator, "finalize", "  finalize(pull)")
+    _wrap(Estimator, "_slide", "    slide")
 
     t0 = time.perf_counter()
     ts, ps, qs, est, _ = runner.run_euroc(CACHE, cfg, use_lines=True)
@@ -126,8 +127,8 @@ def measure():
           f"{n_pub} published, {n_solved} solved", file=sys.stderr)
     print("\nphase breakdown (measured pass):", file=sys.stderr)
     for tag in ("frontend_points", "frontend_lines", "process_frame",
-                "  solve_odometry", "    pack_factors", "    device_state",
-                "  slide"):
+                "  dispatch_solve", "    pack_factors", "    device_state",
+                "  finalize(pull)", "    slide"):
         v = REC.get(tag, [])
         if not v:
             continue

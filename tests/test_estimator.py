@@ -92,3 +92,53 @@ def test_gapped_track_depth_transfer():
     # camera — reset for re-triangulation, anchor = first observed column
     assert tbl.inv_depth[s10] == -1.0
     assert tbl.start[s10] == 1  # old frame 2
+
+
+def test_deferred_solve_bit_identical(seq):
+    """defer_solve=True (solve round trip overlapped with the next frame's
+    work — SURVEY.md §2.6 PP row) must produce BIT-identical state to the
+    synchronous path: IMU samples arriving while the solve is in flight are
+    replayed onto the solved state at finalize()."""
+    from plslam.models.estimator import Estimator
+
+    imu_t = np.asarray(seq.imu_t)
+    frame_t = np.asarray(seq.frame_t)[::2][:60]
+    obs = np.asarray(seq.obs)[::2]
+    obs_valid = np.asarray(seq.obs_valid)[::2]
+    gt = (np.asarray(seq.gt_p)[::2], np.asarray(seq.gt_q)[::2], np.asarray(seq.gt_v)[::2])
+
+    def run(defer):
+        est = Estimator(CONFIG)
+        imu_i = 0
+        prev_t = None
+        out = []
+        for k, t in enumerate(frame_t):
+            while imu_i < len(imu_t) and imu_t[imu_i] <= t + 1e-9:
+                dt = (imu_t[imu_i] - prev_t) if prev_t is not None else 0.005
+                est.process_imu(dt, np.asarray(seq.imu_acc[imu_i]), np.asarray(seq.imu_gyr[imu_i]))
+                prev_t = imu_t[imu_i]
+                imu_i += 1
+            vis = np.nonzero(obs_valid[k])[0]
+            oracle = {"p": gt[0][k], "q": gt[1][k], "v": gt[2][k]}
+            est.process_frame(float(t), vis, obs[k, vis], None,
+                              oracle_state=oracle, defer_solve=defer)
+            if est.initialized and not defer:
+                out.append(est.latest_pose()[1])
+        if defer:
+            # collect poses only at the END-of-next-frame boundaries: replay
+            # happens inside finalize, which the next process_frame triggers;
+            # easiest faithful collection = finalize all then read history
+            est.finalize()
+        return est
+
+    est_a = run(False)
+    est_b = run(True)
+    est_b.finalize()
+    np.testing.assert_array_equal(est_a.p, est_b.p)
+    np.testing.assert_array_equal(est_a.q, est_b.q)
+    np.testing.assert_array_equal(est_a.v, est_b.v)
+    np.testing.assert_array_equal(est_a.ba, est_b.ba)
+    np.testing.assert_array_equal(est_a.pt_table.inv_depth, est_b.pt_table.inv_depth)
+    costs_a = [m.get("cost") for m in est_a.metrics if "cost" in m]
+    costs_b = [m.get("cost") for m in est_b.metrics if "cost" in m]
+    assert costs_a == costs_b
