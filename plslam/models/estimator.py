@@ -130,6 +130,9 @@ class Estimator:
         self.last_acc = None
         self.last_gyr = None
         self.metrics: list[dict] = []
+        self._zero_state_cache = getattr(self, "_zero_state_cache", None)
+        self._zero_pre_cache = getattr(self, "_zero_pre_cache", None)
+        self._empty_factors_cache = getattr(self, "_empty_factors_cache", None)
         self._pending = None  # deferred solve awaiting finalize()
         self._pending_prior = None
         self._kf_snapshot = None
@@ -344,7 +347,9 @@ class Estimator:
 
     # ------------------------------------------------------------ device I/O
     def _device_state(self) -> WindowState:
-        st = zero_state(self.cfg, self.dtype)
+        if self._zero_state_cache is None:
+            self._zero_state_cache = zero_state(self.cfg, self.dtype)
+        st = self._zero_state_cache
         return st._replace(
             p=asdev(self.p, self.dtype),
             q=asdev(self.q, self.dtype),
@@ -362,27 +367,38 @@ class Estimator:
             line=asdev(self.line_w, self.dtype),
         )
 
+    def _zero_pre(self):
+        """Cached device dict standing in for a not-yet-closed interval."""
+        if self._zero_pre_cache is None:
+            dtype = self.dtype
+            self._zero_pre_cache = {
+                "alpha": jnp.zeros(3, dtype), "beta": jnp.zeros(3, dtype),
+                "gamma": jnp.asarray([1.0, 0, 0, 0], dtype),
+                "jac": jnp.eye(15, dtype=dtype), "sqrt_info": jnp.eye(15, dtype=dtype),
+                "dt_sum": jnp.zeros((), dtype),
+                "ba": jnp.zeros(3, dtype), "bg": jnp.zeros(3, dtype),
+            }
+        return self._zero_pre_cache
+
     def _factors(self) -> res.WindowFactors:
         lay, dtype = self.lay, self.dtype
-        f = res.empty_factors(self.cfg, lay, dtype)
+        if self._empty_factors_cache is None:
+            self._empty_factors_cache = res.empty_factors(self.cfg, lay, dtype)
+        f = self._empty_factors_cache
         W = lay.nw - 1
-        al, be, ga, jc, si, dts, vb, bas, bgs = [], [], [], [], [], [], [], [], []
+        zero = self._zero_pre()
+        pres, vb = [], []
         for k in range(1, W + 1):
             pre = self.pres[k] if k < len(self.pres) else None
-            if pre is None:
-                al.append(jnp.zeros(3, dtype)); be.append(jnp.zeros(3, dtype))
-                ga.append(jnp.asarray([1.0, 0, 0, 0], dtype))
-                jc.append(jnp.eye(15, dtype=dtype)); si.append(jnp.eye(15, dtype=dtype))
-                dts.append(jnp.zeros((), dtype)); vb.append(0.0)
-                bas.append(jnp.zeros(3, dtype)); bgs.append(jnp.zeros(3, dtype))
-            else:
-                al.append(pre["alpha"]); be.append(pre["beta"]); ga.append(pre["gamma"])
-                jc.append(pre["jac"]); si.append(pre["sqrt_info"]); dts.append(pre["dt_sum"])
-                vb.append(1.0); bas.append(pre["ba"]); bgs.append(pre["bg"])
+            pres.append(pre if pre is not None else zero)
+            vb.append(0.0 if pre is None else 1.0)
+        # ONE dispatch stacks all preintegration fields (the former ~90 eager
+        # per-field stacks paid ~20 ms of host dispatch time per frame)
+        stk = _stack_pres_jit(tuple(pres))
         f = f._replace(
-            imu_alpha=jnp.stack(al), imu_beta=jnp.stack(be), imu_gamma=jnp.stack(ga),
-            imu_jac=jnp.stack(jc), imu_sqrt_info=jnp.stack(si), imu_dt=jnp.stack(dts),
-            imu_ba=jnp.stack(bas), imu_bg=jnp.stack(bgs),
+            imu_alpha=stk["alpha"], imu_beta=stk["beta"], imu_gamma=stk["gamma"],
+            imu_jac=stk["jac"], imu_sqrt_info=stk["sqrt_info"], imu_dt=stk["dt_sum"],
+            imu_ba=stk["ba"], imu_bg=stk["bg"],
             imu_valid=jnp.asarray(vb, dtype), g=self.g,
         )
         pt_used = self.pt_table.used_in_solver()
@@ -628,6 +644,12 @@ def _preintegrate_padded(acc, gyr, dts, ba, bg, noise):
 @jax.jit
 def _preint_jit(acc, gyr, dts, ba, bg, noise):
     return imu_ops.preintegrate(acc, gyr, dts, ba, bg, noise)
+
+
+@jax.jit
+def _stack_pres_jit(pres: tuple):
+    """Stack W per-interval preintegration dicts field-wise in one program."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
 
 
 @jax.jit

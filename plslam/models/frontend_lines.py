@@ -414,71 +414,8 @@ class FrontendLines:
         self._prog = None
 
     def _program(self):
-        """The whole line tick as ONE jitted program carrying device-resident
-        state (segments, descriptors, validity, feature ids) — nothing is
-        read back on tracked-only frames; a published frame pulls ONE packed
-        bundle (a fresh D2H readback costs ~25–50 ms through the TPU tunnel
-        regardless of size)."""
-        if self._prog is not None:
-            return self._prog
-        cam, dtype = self.cam, self.dtype
-        max_lines, octaves = self.max_lines, self.octaves
-        binary, pallas = self.binary_desc, self.pallas
-
-        @partial(jax.jit, static_argnames=("have_oct1",))
-        def prog(img, oct1, have_oct1: bool, prev_segs, prev_desc, prev_valid,
-                 prev_ids, next_id):
-            all_segs, all_scores, all_valid = [], [], []
-            cur = img
-            for o in range(octaves):
-                mag, ang, edge = edge_map(cur)
-                segs_o, score_o, valid_o = detect_segments(
-                    mag, ang, edge, *cur.shape, max_out=max_lines)
-                s = float(2 ** o)
-                all_segs.append(segs_o * s)
-                all_scores.append(score_o * s)
-                all_valid.append(valid_o)
-                if o + 1 < octaves:
-                    if o == 0 and have_oct1:
-                        cur = oct1
-                    else:
-                        from plslam.models.frontend_points import _sep_conv
-
-                        k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
-                        cur = _sep_conv(cur, k5)[::2, ::2]
-            segs, score, valid = merge_candidates(
-                jnp.concatenate(all_segs), jnp.concatenate(all_scores),
-                jnp.concatenate(all_valid), max_out=max_lines)
-            valid_f = valid.astype(dtype)
-            gx, gy = _scharr(img)
-            desc = lbd_descriptors(gx, gy, segs, valid_f)
-            if binary:
-                desc = binarize_lbd(desc)
-                m = match_lbd_binary(prev_desc, prev_segs, prev_valid,
-                                     desc, segs, valid_f, pallas=pallas)
-            else:
-                m = match_lbd(prev_desc, prev_segs, prev_valid, desc, segs, valid_f)
-            # id propagation on device: prev line i matched to cur j carries
-            # its id; unmatched valid cur lines get fresh consecutive ids
-            L = max_lines
-            ok_m = (m >= 0) & (prev_ids >= 0) & (prev_valid > 0)
-            tgt = jnp.where(ok_m, m, L)  # out-of-range drops
-            ids = jnp.full((L,), -1, jnp.int32).at[tgt].set(prev_ids, mode="drop")
-            newly = valid & (ids < 0)
-            rank = (jnp.cumsum(newly) - 1).astype(jnp.int32)
-            ids = jnp.where(newly, next_id + rank, ids)
-            ids = jnp.where(valid, ids, -1)
-            next1 = next_id + jnp.sum(newly).astype(jnp.int32)
-            sp = lift(cam, segs[:, 0:2])
-            ep = lift(cam, segs[:, 2:4])
-            bundle = jnp.concatenate([
-                sp, ep, valid_f[:, None],
-                jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None],
-            ], axis=1)  # [L,6]
-            return (segs, desc, valid_f, ids, next1), bundle
-
-        self._prog = prog
-        return prog
+        return _ln_program(self.max_lines, self.octaves, self.binary_desc,
+                           self.pallas, self.dtype)
 
     def _detect_multiscale(self, img_j, oct1=None):
         """Detect on an octave pyramid and merge (the reference's
@@ -534,7 +471,7 @@ class FrontendLines:
         have = oct1 is not None
         oct1_j = (jnp.asarray(oct1, self.dtype) if have
                   else jnp.zeros((2, 2), self.dtype))
-        self.prev, bundle = prog(img_j, oct1_j, have, *self.prev)
+        self.prev, bundle = prog(self.cam, img_j, oct1_j, have, *self.prev)
         if not want_output:
             return None
         b = np.array(bundle)  # the ONE readback (f32 — ids are bitcast bits)
@@ -543,3 +480,70 @@ class FrontendLines:
         ids = b[:, 5].copy().view(np.int32).astype(np.int64)
         out = v & (ids >= 0)
         return ids[out], np.concatenate([sp[out], ep[out]], axis=1)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _ln_program(max_lines: int, octaves: int, binary: bool, pallas: bool, dtype):
+    """The whole line tick as ONE jitted program carrying device-resident
+    state (segments, descriptors, validity, feature ids) — built ONCE per
+    static config at module level (per-instance closures would recompile for
+    every new FrontendLines; a fresh D2H readback costs ~25–50 ms through
+    the TPU tunnel regardless of size, so the tick is one dispatch and at
+    most one pull). The camera is a dynamic pytree argument."""
+
+    @partial(jax.jit, static_argnames=("have_oct1",))
+    def prog(cam, img, oct1, have_oct1: bool, prev_segs, prev_desc, prev_valid,
+             prev_ids, next_id):
+        all_segs, all_scores, all_valid = [], [], []
+        cur = img
+        for o in range(octaves):
+            mag, ang, edge = edge_map(cur)
+            segs_o, score_o, valid_o = detect_segments(
+                mag, ang, edge, *cur.shape, max_out=max_lines)
+            s = float(2 ** o)
+            all_segs.append(segs_o * s)
+            all_scores.append(score_o * s)
+            all_valid.append(valid_o)
+            if o + 1 < octaves:
+                if o == 0 and have_oct1:
+                    cur = oct1
+                else:
+                    from plslam.models.frontend_points import _sep_conv
+
+                    k5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+                    cur = _sep_conv(cur, k5)[::2, ::2]
+        segs, score, valid = merge_candidates(
+            jnp.concatenate(all_segs), jnp.concatenate(all_scores),
+            jnp.concatenate(all_valid), max_out=max_lines)
+        valid_f = valid.astype(dtype)
+        gx, gy = _scharr(img)
+        desc = lbd_descriptors(gx, gy, segs, valid_f)
+        if binary:
+            desc = binarize_lbd(desc)
+            m = match_lbd_binary(prev_desc, prev_segs, prev_valid,
+                                 desc, segs, valid_f, pallas=pallas)
+        else:
+            m = match_lbd(prev_desc, prev_segs, prev_valid, desc, segs, valid_f)
+        # id propagation on device: prev line i matched to cur j carries its
+        # id; unmatched valid cur lines get fresh consecutive ids
+        L = max_lines
+        ok_m = (m >= 0) & (prev_ids >= 0) & (prev_valid > 0)
+        tgt = jnp.where(ok_m, m, L)  # out-of-range drops
+        ids = jnp.full((L,), -1, jnp.int32).at[tgt].set(prev_ids, mode="drop")
+        newly = valid & (ids < 0)
+        rank = (jnp.cumsum(newly) - 1).astype(jnp.int32)
+        ids = jnp.where(newly, next_id + rank, ids)
+        ids = jnp.where(valid, ids, -1)
+        next1 = next_id + jnp.sum(newly).astype(jnp.int32)
+        sp = lift(cam, segs[:, 0:2])
+        ep = lift(cam, segs[:, 2:4])
+        bundle = jnp.concatenate([
+            sp, ep, valid_f[:, None],
+            jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None],
+        ], axis=1)  # [L,6]
+        return (segs, desc, valid_f, ids, next1), bundle
+
+    return prog

@@ -458,86 +458,8 @@ class FrontendPoints:
 
     # ------------------------------------------------------------- programs
     def _programs(self):
-        if self._prog is not None:
-            return self._prog, self._det_prog
-        cam, dtype = self.cam, self.dtype
-        cell, N = self.min_dist, self.max_cnt
-        use_pallas, fisheye = self.use_pallas, self.fisheye
-
-        def in_fov(uv, shape):
-            h, w = shape
-            r = 0.5 * min(h, w) - 3.0
-            d2 = (uv[:, 0] - w / 2.0) ** 2 + (uv[:, 1] - h / 2.0) ** 2
-            return d2 <= r * r
-
-        def pack(uv, norm, vel, valid, ids, track_cnt):
-            return jnp.concatenate([
-                uv, norm, vel, valid.astype(dtype)[:, None],
-                jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None].astype(dtype),
-                track_cnt.astype(dtype)[:, None],
-            ], axis=1)  # [N,9]
-
-        @jax.jit
-        def prog(pyr_prev, img_new, state, f_thresh, key, dt, min_score):
-            uv0, valid0, norm0, ids0, cnt0, next_id = state
-            pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
-            if use_pallas:
-                from plslam.ops.kernels.lk import lk_track_pallas
-
-                track_uv, status = lk_track_pallas(pyr_prev, pyr_new, uv0, valid0)
-            else:
-                track_uv, status = lk_track_fast(pyr_prev, pyr_new, uv0, valid0)
-            ok = status & valid0
-            if fisheye:
-                ok = ok & in_fov(track_uv, img_new.shape)
-            norm_t = lift(cam, track_uv)
-            inl = fundamental_ransac(norm0, norm_t, ok, f_thresh, key=key)
-            ok = jnp.where(jnp.sum(ok) >= 8, ok & inl, ok)  # host path skipped <8
-            det_uv, det_sc = shi_tomasi_grid(pyr_new[0], track_uv, ok.astype(dtype),
-                                             cell=cell, max_out=N)
-            det_norm = lift(cam, det_uv)
-            det_good = det_sc > min_score
-            if fisheye:
-                det_good = det_good & in_fov(det_uv, img_new.shape)
-            # refill: free slot of rank r takes candidate r (candidates are
-            # score-sorted and the quality gate is monotone in score, so good
-            # candidates are a prefix — identical to the compacting host loop)
-            fr = jnp.cumsum(~ok) - 1  # free rank per slot
-            ci = jnp.clip(fr, 0, N - 1)
-            fill = (~ok) & det_good[ci]
-            valid1 = ok | fill
-            uv1 = jnp.where(fill[:, None], det_uv[ci], track_uv)
-            norm1 = jnp.where(fill[:, None], det_norm[ci], norm_t)
-            ids1 = jnp.where(ok, ids0,
-                             jnp.where(fill, next_id + fr.astype(jnp.int32), -1))
-            cnt1 = jnp.where(ok, cnt0 + 1, jnp.where(fill, 1, 0))
-            next1 = next_id + jnp.sum(fill).astype(jnp.int32)
-            # per-feature normalized velocity (`undistortedPoints`): only for
-            # slots genuinely TRACKED from the previous frame (the former
-            # host path could pair a refilled slot with its dead predecessor)
-            vel = jnp.where((ok & (dt > 0))[:, None], (norm_t - norm0) / jnp.maximum(dt, 1e-6), 0.0)
-            bundle = pack(uv1, norm1, vel, valid1, ids1, cnt1)
-            return tuple(pyr_new), (uv1, valid1, norm1, ids1, cnt1, next1), bundle
-
-        @jax.jit
-        def det_prog(img, min_score):
-            pyr = build_pyramid(img, levels=auto_levels(img.shape))
-            det_uv, det_sc = shi_tomasi_grid(
-                pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros((1,), dtype),
-                cell=cell, max_out=N)
-            det_norm = lift(cam, det_uv)
-            good = det_sc > min_score
-            if fisheye:
-                good = good & in_fov(det_uv, img.shape)
-            ids = jnp.where(good, jnp.cumsum(good) - 1, -1).astype(jnp.int32)
-            cnt = good.astype(jnp.int32)
-            next_id = jnp.sum(good).astype(jnp.int32)
-            state = (det_uv, good, det_norm, ids, cnt, next_id)
-            bundle = pack(det_uv, det_norm, jnp.zeros_like(det_uv), good, ids, cnt)
-            return tuple(pyr), state, bundle
-
-        self._prog, self._det_prog = prog, det_prog
-        return prog, det_prog
+        return _pt_programs(self.min_dist, self.max_cnt, self.use_pallas,
+                            self.fisheye, self.dtype)
 
     # --------------------------------------------------------------- ticking
     def process(self, img, t: float, want_output: bool = True):
@@ -552,12 +474,12 @@ class FrontendPoints:
         img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
         if self.prev_pyr is None:
             self.prev_pyr, self._state, bundle = det_prog(
-                img_j, jnp.asarray(self.min_score, self.dtype))
+                self.cam, img_j, jnp.asarray(self.min_score, self.dtype))
         else:
             key = jax.random.fold_in(self._key, self._frame_i)
             dt = (t - self.prev_t) if self.prev_t is not None else 0.0
             self.prev_pyr, self._state, bundle = prog(
-                self.prev_pyr, img_j, self._state,
+                self.cam, self.prev_pyr, img_j, self._state,
                 jnp.asarray(self.f_thresh, self.dtype), key,
                 jnp.asarray(dt, self.dtype), jnp.asarray(self.min_score, self.dtype))
         self._frame_i += 1
@@ -573,3 +495,91 @@ class FrontendPoints:
         self.prev_valid = valid
         self.track_cnt = b[:, 8].astype(np.int64)
         return ids[valid], norm[valid], vel[valid], uv[valid]
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
+    """Build the fused per-frame programs ONCE per static config (module
+    -level cache: per-instance closures would recompile for every new
+    FrontendPoints — seconds per compile through the TPU tunnel). The camera
+    is a dynamic pytree argument, so intrinsics never trigger a retrace.
+
+    A fresh device→host readback costs ~25–50 ms through the TPU tunnel
+    REGARDLESS of size (measured; execution and H2D are fast) — so the whole
+    tick is one dispatch and at most one pull."""
+
+    def in_fov(uv, shape):
+        h, w = shape
+        r = 0.5 * min(h, w) - 3.0
+        d2 = (uv[:, 0] - w / 2.0) ** 2 + (uv[:, 1] - h / 2.0) ** 2
+        return d2 <= r * r
+
+    def pack(uv, norm, vel, valid, ids, track_cnt):
+        return jnp.concatenate([
+            uv, norm, vel, valid.astype(dtype)[:, None],
+            jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None].astype(dtype),
+            track_cnt.astype(dtype)[:, None],
+        ], axis=1)  # [N,9]
+
+    @jax.jit
+    def prog(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score):
+        uv0, valid0, norm0, ids0, cnt0, next_id = state
+        pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
+        if use_pallas:
+            from plslam.ops.kernels.lk import lk_track_pallas
+
+            track_uv, status = lk_track_pallas(pyr_prev, pyr_new, uv0, valid0)
+        else:
+            track_uv, status = lk_track_fast(pyr_prev, pyr_new, uv0, valid0)
+        ok = status & valid0
+        if fisheye:
+            ok = ok & in_fov(track_uv, img_new.shape)
+        norm_t = lift(cam, track_uv)
+        inl = fundamental_ransac(norm0, norm_t, ok, f_thresh, key=key)
+        ok = jnp.where(jnp.sum(ok) >= 8, ok & inl, ok)  # host path skipped <8
+        det_uv, det_sc = shi_tomasi_grid(pyr_new[0], track_uv, ok.astype(dtype),
+                                         cell=cell, max_out=N)
+        det_norm = lift(cam, det_uv)
+        det_good = det_sc > min_score
+        if fisheye:
+            det_good = det_good & in_fov(det_uv, img_new.shape)
+        # refill: free slot of rank r takes candidate r (candidates are
+        # score-sorted and the quality gate is monotone in score, so good
+        # candidates are a prefix — identical to the compacting host loop)
+        fr = jnp.cumsum(~ok) - 1  # free rank per slot
+        ci = jnp.clip(fr, 0, N - 1)
+        fill = (~ok) & det_good[ci]
+        valid1 = ok | fill
+        uv1 = jnp.where(fill[:, None], det_uv[ci], track_uv)
+        norm1 = jnp.where(fill[:, None], det_norm[ci], norm_t)
+        ids1 = jnp.where(ok, ids0,
+                         jnp.where(fill, next_id + fr.astype(jnp.int32), -1))
+        cnt1 = jnp.where(ok, cnt0 + 1, jnp.where(fill, 1, 0))
+        next1 = next_id + jnp.sum(fill).astype(jnp.int32)
+        # per-feature normalized velocity (`undistortedPoints`): only for
+        # slots genuinely TRACKED from the previous frame
+        vel = jnp.where((ok & (dt > 0))[:, None], (norm_t - norm0) / jnp.maximum(dt, 1e-6), 0.0)
+        bundle = pack(uv1, norm1, vel, valid1, ids1, cnt1)
+        return tuple(pyr_new), (uv1, valid1, norm1, ids1, cnt1, next1), bundle
+
+    @jax.jit
+    def det_prog(cam, img, min_score):
+        pyr = build_pyramid(img, levels=auto_levels(img.shape))
+        det_uv, det_sc = shi_tomasi_grid(
+            pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros((1,), dtype),
+            cell=cell, max_out=N)
+        det_norm = lift(cam, det_uv)
+        good = det_sc > min_score
+        if fisheye:
+            good = good & in_fov(det_uv, img.shape)
+        ids = jnp.where(good, jnp.cumsum(good) - 1, -1).astype(jnp.int32)
+        cnt = good.astype(jnp.int32)
+        next_id = jnp.sum(good).astype(jnp.int32)
+        state = (det_uv, good, det_norm, ids, cnt, next_id)
+        bundle = pack(det_uv, det_norm, jnp.zeros_like(det_uv), good, ids, cnt)
+        return tuple(pyr), state, bundle
+
+    return prog, det_prog

@@ -21,7 +21,7 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CACHE = "/tmp/plslam_fps_ds_v1"
+CACHE = "/tmp/plslam_fps_ds_v2"
 H, W, F = 480, 752, 460.0
 DURATION = 12.0
 
@@ -36,7 +36,7 @@ def render_dataset():
     from plslam.ops.cameras import PinholeRadTan
     from plslam.utils.geometry import quat_to_rot
 
-    params = synthetic.TrajectoryParams(omega=0.4, z_omega=0.7, wiggle_amp=0.15)
+    params = synthetic.TrajectoryParams(omega=0.4, z_omega=0.7, wiggle_amp=0.15, excite_amp=0.1)
     seq = synthetic.make_sequence(duration=DURATION, n_points=500, n_lines=40,
                                   seed=17, params=params,
                                   acc_noise=0.1, gyr_noise=0.005,
