@@ -474,12 +474,18 @@ class FrontendLines:
         self.prev, bundle = prog(self.cam, img_j, oct1_j, have, *self.prev)
         if not want_output:
             return None
-        b = np.array(bundle)  # the ONE readback (f32 — ids are bitcast bits)
-        sp, ep = b[:, 0:2].astype(np.float64), b[:, 2:4].astype(np.float64)
-        v = b[:, 4] > 0
-        ids = b[:, 5].copy().view(np.int32).astype(np.int64)
-        out = v & (ids >= 0)
-        return ids[out], np.concatenate([sp[out], ep[out]], axis=1)
+
+        def unpack(b):
+            sp, ep = b[:, 0:2].astype(np.float64), b[:, 2:4].astype(np.float64)
+            v = b[:, 4] > 0
+            ids = b[:, 5].copy().view(np.int32).astype(np.int64)
+            out = v & (ids >= 0)
+            return ids[out], np.concatenate([sp[out], ep[out]], axis=1)
+
+        from plslam.models.frontend_points import OutputHandle
+
+        h = OutputHandle(bundle, unpack)
+        return h if want_output == "defer" else h.get()
 
 
 from functools import lru_cache  # noqa: E402

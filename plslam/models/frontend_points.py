@@ -375,7 +375,9 @@ def fundamental_ransac(p1, p2, valid, thresh, iters: int = 100, key=None):
     # hypothesis → NaN F → zero inliers, same as a degenerate SVD sample.
     gumbel = jax.random.gumbel(key, (iters, n), dtype)
     score = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, samples = jax.lax.top_k(score, 8)  # [iters,8]
+    # approx_max_k: exact top_k is a full sort on TPU (measured +1 ms here);
+    # the samples are random anyway, so approximate recall is free
+    _, samples = jax.lax.approx_max_k(score, 8)  # [iters,8]
 
     x1 = jnp.concatenate([p1, jnp.ones((n, 1), dtype)], axis=1)
     x2 = jnp.concatenate([p2, jnp.ones((n, 1), dtype)], axis=1)
@@ -486,15 +488,19 @@ class FrontendPoints:
         self.prev_t = t
         if not want_output:
             return None
-        b = np.array(bundle)  # the ONE readback (f32 — ids are bitcast bits)
-        uv = b[:, 0:2].astype(np.float64)
-        norm = b[:, 2:4].astype(np.float64)
-        vel = b[:, 4:6].astype(np.float64)
-        valid = b[:, 6] > 0
-        ids = b[:, 7].copy().view(np.int32).astype(np.int64)
-        self.prev_valid = valid
-        self.track_cnt = b[:, 8].astype(np.int64)
-        return ids[valid], norm[valid], vel[valid], uv[valid]
+
+        def unpack(b):
+            uv = b[:, 0:2].astype(np.float64)
+            norm = b[:, 2:4].astype(np.float64)
+            vel = b[:, 4:6].astype(np.float64)
+            valid = b[:, 6] > 0
+            ids = b[:, 7].copy().view(np.int32).astype(np.int64)
+            self.prev_valid = valid
+            self.track_cnt = b[:, 8].astype(np.int64)
+            return ids[valid], norm[valid], vel[valid], uv[valid]
+
+        h = OutputHandle(bundle, unpack)
+        return h if want_output == "defer" else h.get()
 
 
 from functools import lru_cache  # noqa: E402
@@ -583,3 +589,25 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
         return tuple(pyr), state, bundle
 
     return prog, det_prog
+
+
+class OutputHandle:
+    """Deferred readback of a frontend bundle: the host copy starts
+    immediately (async); .get() materializes it — pulling multiple handles
+    back-to-back overlaps their device round trips."""
+
+    def __init__(self, bundle, unpack):
+        try:
+            bundle.copy_to_host_async()
+        except Exception:
+            pass
+        self._bundle = bundle
+        self._unpack = unpack
+        self._out = None
+
+    def get(self):
+        if self._unpack is not None:
+            self._out = self._unpack(np.array(self._bundle))
+            self._bundle = None
+            self._unpack = None
+        return self._out

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from plslam.utils import quat_np as qnp
+from plslam.utils.device import pull_all
 from plslam.models import residuals as res
 from plslam.models import solver as solver_mod
 from plslam.models.state import zero_state
@@ -150,7 +152,7 @@ def _sfm(est, l, R_nl, t_nl):
     # initial camera poses: interpolate between identity (ℓ) and (R,t) (newest)
     p_c = np.zeros((nw + 1, 3))
     q_c = np.tile([1.0, 0, 0, 0], (nw + 1, 1))
-    q_ln = np.asarray(rot_to_quat(jnp.asarray(R_nl.T)))  # cam ℓ → cam new ... pose of new in ℓ
+    q_ln = qnp.rot_to_quat(R_nl.T)  # cam ℓ → cam new ... pose of new in ℓ
     # pose of camera k in ℓ frame: for k=new: R_l_n = R_nl.T, t_l_n = -R_nl.T t_nl
     t_ln = -R_nl.T @ t_nl
     for k in range(nw + 1):
@@ -186,8 +188,7 @@ def _sfm(est, l, R_nl, t_nl):
     )
     inv_d, ok2 = triangulate.triangulate_points(st_out.p, st_out.q, f.pt_obs, f.pt_mask, f.pt_start)
     st_boot = st_out._replace(inv_depth=jnp.where(jnp.asarray(ok2), inv_d, st_out.inv_depth))
-    ok_boot = np.asarray(ok2 & jnp.asarray(used))
-    mean_err = float(stats.cost) / max(1.0, float(jnp.sum(f.pt_mask)))
+    ok_boot_dev = ok2 & jnp.asarray(used)
 
     # refinement pass with a cleaner gauge: only frame ℓ pinned (the
     # double-pinned bootstrap bakes the 8-point pose error into the
@@ -200,11 +201,16 @@ def _sfm(est, l, R_nl, t_nl):
     )
     inv_d, ok3 = triangulate.triangulate_points(st_ref.p, st_ref.q, f.pt_obs, f.pt_mask, f.pt_start)
     st_ref = st_ref._replace(inv_depth=jnp.where(jnp.asarray(ok3), inv_d, st_ref.inv_depth))
-    ok_ref = np.asarray(ok3 & jnp.asarray(used))
+    ok_ref_dev = ok3 & jnp.asarray(used)
 
+    # ONE overlapped readback batch for both candidates + the SFM cost
+    (p_r, q_r, i_r, okr, p_b, q_b, i_b, okb, cost) = pull_all(
+        st_ref.p, st_ref.q, st_ref.inv_depth, ok_ref_dev,
+        st_boot.p, st_boot.q, st_boot.inv_depth, ok_boot_dev, stats.cost)
+    mean_err = float(cost) / max(1.0, float(np.sum(np.asarray(tbl.mask))))
     cands = [
-        (np.asarray(st_ref.p), np.asarray(st_ref.q), np.asarray(st_ref.inv_depth), ok_ref),
-        (np.asarray(st_boot.p), np.asarray(st_boot.q), np.asarray(st_boot.inv_depth), ok_boot),
+        (np.asarray(p_r), np.asarray(q_r), np.asarray(i_r), np.asarray(okr)),
+        (np.asarray(p_b), np.asarray(q_b), np.asarray(i_b), np.asarray(okb)),
     ]
     return cands, mean_err
 
@@ -220,22 +226,45 @@ def _slerp(q0, q1, a):
     return (np.sin((1 - a) * th) * np.asarray(q0) + np.sin(a * th) * np.asarray(q1)) / np.sin(th)
 
 
+def _pres_host(est):
+    """All interval preintegrations as HOST dicts in ONE overlapped batch of
+    readbacks (index k = 1..nw like `est.pres`; None for empty intervals).
+    The former per-field np.asarray calls paid a ~35 ms tunnel round trip
+    EACH — ~100 per initialization attempt."""
+    from plslam.models.estimator import _stack_pres_jit
+
+    nw = est.cfg.window_size
+    zero = est._zero_pre()
+    pres_dev, valid = [], []
+    for k in range(1, nw + 1):
+        pre = est.pres[k] if k < len(est.pres) else None
+        pres_dev.append(pre if pre is not None else zero)
+        valid.append(pre is not None)
+    stk = _stack_pres_jit(tuple(pres_dev))
+    keys = sorted(stk.keys())
+    vals = pull_all(*[stk[k2] for k2 in keys])
+    stk_h = {k2: np.asarray(v, np.float64) for k2, v in zip(keys, vals)}
+    out = [None]
+    for i in range(nw):
+        out.append({k2: stk_h[k2][i] for k2 in keys} if valid[i] else None)
+    return out
+
+
 # -------------------------------------------------------------- VI alignment
-def _solve_gyro_bias(est, q_bl):
+def _solve_gyro_bias(est, q_bl, pres_h):
     """`solveGyroscopeBias`: LS on preintegrated vs visual rotation deltas."""
     nw = est.cfg.window_size
     A = np.zeros((3, 3))
     b = np.zeros(3)
     for k in range(nw):
-        pre = est.pres[k + 1]
+        pre = pres_h[k + 1]
         if pre is None:
             continue
-        q_ij = quat_mul(quat_conj(jnp.asarray(q_bl[k])), jnp.asarray(q_bl[k + 1]))
-        dq = quat_mul(quat_conj(pre["gamma"]), q_ij)
-        dq = np.asarray(dq)
+        q_ij = qnp.quat_mul(qnp.quat_conj(q_bl[k]), q_bl[k + 1])
+        dq = qnp.quat_mul(qnp.quat_conj(pre["gamma"]), q_ij)
         if dq[0] < 0:
             dq = -dq
-        J = np.asarray(pre["jac"])[3:6, 12:15]
+        J = pre["jac"][3:6, 12:15]
         r = 2.0 * dq[1:4]
         A += J.T @ J
         b += J.T @ r
@@ -244,7 +273,7 @@ def _solve_gyro_bias(est, q_bl):
     return np.linalg.solve(A, b)
 
 
-def _linear_alignment(est, p_cl, q_bl):
+def _linear_alignment(est, p_cl, q_bl, pres_h):
     """`LinearAlignment`: solve velocities (body frames), gravity in ℓ-cam
     frame, and metric scale from the preintegrated deltas."""
     nw = est.cfg.window_size
@@ -252,10 +281,10 @@ def _linear_alignment(est, p_cl, q_bl):
     A = np.zeros((n_state, n_state))
     b = np.zeros(n_state)
     p_bc = est.p_bc
-    R_bl = np.stack([np.asarray(quat_to_rot(jnp.asarray(q))) for q in q_bl])  # R_cl_bk
+    R_bl = qnp.quat_to_rot(q_bl)  # [nw+1,3,3] R_cl_bk
 
     for k in range(nw):
-        pre = est.pres[k + 1]
+        pre = pres_h[k + 1]
         if pre is None:
             return None
         dt = float(pre["dt_sum"])
@@ -266,11 +295,11 @@ def _linear_alignment(est, p_cl, q_bl):
         tmp_A[0:3, 0:3] = -dt * np.eye(3)
         tmp_A[0:3, 6:9] = 0.5 * Ri.T @ np.eye(3) * dt * dt
         tmp_A[0:3, 9] = Ri.T @ (p_cl[k + 1] - p_cl[k]) / 100.0
-        tmp_b[0:3] = np.asarray(pre["alpha"]) + Ri.T @ Rj @ p_bc - p_bc
+        tmp_b[0:3] = pre["alpha"] + Ri.T @ Rj @ p_bc - p_bc
         tmp_A[3:6, 0:3] = -np.eye(3)
         tmp_A[3:6, 3:6] = Ri.T @ Rj
         tmp_A[3:6, 6:9] = Ri.T * dt
-        tmp_b[3:6] = np.asarray(pre["beta"])
+        tmp_b[3:6] = pre["beta"]
 
         # scatter into the big system
         idx = np.concatenate([np.arange(k * 3, k * 3 + 6), np.arange((nw + 1) * 3, n_state)])
@@ -287,18 +316,18 @@ def _linear_alignment(est, p_cl, q_bl):
     if s < 1e-4 or abs(np.linalg.norm(g) - est.config.imu.g_norm) > 1.5:
         return None
     vels = x[: (nw + 1) * 3].reshape(nw + 1, 3)
-    g, s, vels = _refine_gravity(est, p_cl, q_bl, g)
+    g, s, vels = _refine_gravity(est, p_cl, q_bl, g, pres_h)
     if s is None:
         return None
     return g, s, vels
 
 
-def _refine_gravity(est, p_cl, q_bl, g0):
+def _refine_gravity(est, p_cl, q_bl, g0, pres_h):
     """`RefineGravity`: 2-DoF tangent refinement with ‖g‖ fixed to G."""
     nw = est.cfg.window_size
     gn = est.config.imu.g_norm
     p_bc = est.p_bc
-    R_bl = np.stack([np.asarray(quat_to_rot(jnp.asarray(q))) for q in q_bl])
+    R_bl = qnp.quat_to_rot(q_bl)
     g = g0 / np.linalg.norm(g0) * gn
     vels = None
     s = None
@@ -315,7 +344,7 @@ def _refine_gravity(est, p_cl, q_bl, g0):
         A = np.zeros((n_state, n_state))
         bb = np.zeros(n_state)
         for k in range(nw):
-            pre = est.pres[k + 1]
+            pre = pres_h[k + 1]
             dt = float(pre["dt_sum"])
             Ri, Rj = R_bl[k], R_bl[k + 1]
             tmp_A = np.zeros((6, 9))
@@ -323,11 +352,11 @@ def _refine_gravity(est, p_cl, q_bl, g0):
             tmp_A[0:3, 0:3] = -dt * np.eye(3)
             tmp_A[0:3, 6:8] = 0.5 * Ri.T @ basis * dt * dt
             tmp_A[0:3, 8] = Ri.T @ (p_cl[k + 1] - p_cl[k]) / 100.0
-            tmp_b[0:3] = np.asarray(pre["alpha"]) + Ri.T @ Rj @ p_bc - p_bc - 0.5 * Ri.T @ g * dt * dt
+            tmp_b[0:3] = pre["alpha"] + Ri.T @ Rj @ p_bc - p_bc - 0.5 * Ri.T @ g * dt * dt
             tmp_A[3:6, 0:3] = -np.eye(3)
             tmp_A[3:6, 3:6] = Ri.T @ Rj
             tmp_A[3:6, 6:8] = Ri.T @ basis * dt
-            tmp_b[3:6] = np.asarray(pre["beta"]) - Ri.T @ g * dt
+            tmp_b[3:6] = pre["beta"] - Ri.T @ g * dt
 
             idx = np.concatenate([np.arange(k * 3, k * 3 + 6), np.arange((nw + 1) * 3, n_state)])
             A[np.ix_(idx, idx)] += tmp_A.T @ tmp_A
@@ -379,25 +408,25 @@ def calibrate_extrinsic_rotation(q_cam_deltas, q_imu_deltas):
     return q / np.linalg.norm(q), bool(ok)
 
 
-def _alignment_residual(est, p_cl, q_bl, g, s, vels):
+def _alignment_residual(est, p_cl, q_bl, g, s, vels, pres_h):
     """Mean squared residual of the linear-alignment equations at the solved
     (g, s, velocities) — a measurable SFM↔IMU consistency score used to pick
     between reconstruction candidates."""
     nw = est.cfg.window_size
     p_bc = est.p_bc
-    R_bl = np.stack([np.asarray(quat_to_rot(jnp.asarray(q))) for q in q_bl])
+    R_bl = qnp.quat_to_rot(q_bl)
     total = 0.0
     n = 0
     for k in range(nw):
-        pre = est.pres[k + 1]
+        pre = pres_h[k + 1]
         if pre is None:
             return np.inf
         dt = float(pre["dt_sum"])
         Ri, Rj = R_bl[k], R_bl[k + 1]
-        r_p = (np.asarray(pre["alpha"]) + Ri.T @ Rj @ p_bc - p_bc
+        r_p = (pre["alpha"] + Ri.T @ Rj @ p_bc - p_bc
                - Ri.T @ (s * (p_cl[k + 1] - p_cl[k])) + vels[k] * dt
                - 0.5 * Ri.T @ g * dt * dt)
-        r_v = (np.asarray(pre["beta"]) - Ri.T @ Rj @ vels[k + 1] + vels[k]
+        r_v = (pre["beta"] - Ri.T @ Rj @ vels[k + 1] + vels[k]
                - Ri.T @ g * dt)
         total += float(r_p @ r_p + r_v @ r_v)
         n += 6
@@ -432,9 +461,8 @@ def try_initialize(est) -> bool:
     if mean_err > 10.0:
         return False
 
-    q_bc = jnp.asarray(est.q_bc)
-    p_bc = jnp.asarray(est.p_bc)
-    q_cb = quat_conj(q_bc)
+    p_bc = np.asarray(est.p_bc, np.float64)
+    q_cb = qnp.quat_conj(est.q_bc)
 
     # Score each SFM candidate (refined gauge first, double-pinned bootstrap
     # second) by how consistently the IMU alignment explains it. The bootstrap
@@ -444,18 +472,15 @@ def try_initialize(est) -> bool:
     PREFER_REFINED_FACTOR = 0.3
     pres0 = list(est.pres)  # zero-bias preintegrations (gyro solve is relative)
     best = None
+    pres0_h = _pres_host(est)  # zero-bias preintegrations, one pull batch
     for ci, (p_c, q_c, inv_depth, pt_ok) in enumerate(cands):
         est.pres = list(pres0)
         # body poses in the ℓ-camera frame: T_cl_bk = T_cl_ck ∘ (T_b_c)⁻¹
-        q_bl = np.stack([
-            np.asarray(quat_mul(jnp.asarray(q_c[k]), q_cb)) for k in range(nw + 1)
-        ])
-        p_bl = np.stack([
-            p_c[k] + np.asarray(quat_rotate(jnp.asarray(q_bl[k]), -p_bc)) for k in range(nw + 1)
-        ])
+        q_bl = qnp.quat_mul(q_c, q_cb[None, :])
+        p_bl = p_c + qnp.quat_rotate(q_bl, np.broadcast_to(-p_bc, (nw + 1, 3)))
 
         # gyro bias + repropagate
-        bg = _solve_gyro_bias(est, q_bl)
+        bg = _solve_gyro_bias(est, q_bl, pres0_h)
         if np.linalg.norm(bg) > 1.0:
             continue
         for k in range(1, nw + 1):
@@ -467,12 +492,13 @@ def try_initialize(est) -> bool:
                 est.pres[k] = _preintegrate_padded(
                     acc, gyr, dts, jnp.zeros(3, est.dtype), jnp.asarray(bg, est.dtype), est.noise
                 )
+        pres_h = _pres_host(est)  # repropagated, one pull batch
 
-        out = _linear_alignment(est, p_c, q_bl)
+        out = _linear_alignment(est, p_c, q_bl, pres_h)
         if out is None:
             continue
         g_cl_c, s_c, vels_c = out
-        score = _alignment_residual(est, p_c, q_bl, g_cl_c, s_c, vels_c)
+        score = _alignment_residual(est, p_c, q_bl, g_cl_c, s_c, vels_c, pres_h)
         if ci == 0:
             score = score / PREFER_REFINED_FACTOR  # refined must win decisively
         if best is None or score < best[0]:
@@ -496,17 +522,17 @@ def try_initialize(est) -> bool:
     # ---- visualInitialAlign: rescale + rotate world to gravity-aligned frame
     p_m = s * p_bl  # metric body positions in the ℓ-camera frame
     p_m = p_m - p_m[0]
-    R0 = np.asarray(gravity_to_rot(jnp.asarray(g_cl)))
+    R0 = np.asarray(gravity_to_rot(jnp.asarray(g_cl)))  # once per successful init
     # zero the yaw of the first body frame in the new world
-    R_b0 = np.asarray(quat_to_rot(jnp.asarray(q_bl[0])))
-    yaw0 = float(np.asarray(rot_to_ypr(jnp.asarray(R0 @ R_b0)))[0])
-    Rz = np.asarray(ypr_to_rot(jnp.asarray([-yaw0, 0.0, 0.0])))
+    R_b0 = qnp.quat_to_rot(q_bl[0])
+    yaw0 = float(qnp.rot_to_ypr(R0 @ R_b0)[0])
+    Rz = qnp.ypr_to_rot(np.array([-yaw0, 0.0, 0.0]))
     R0 = Rz @ R0
 
     for k in range(nw + 1):
         est.p[k] = R0 @ p_m[k]
-        R_bk = np.asarray(quat_to_rot(jnp.asarray(q_bl[k])))
-        est.q[k] = np.asarray(rot_to_quat(jnp.asarray(R0 @ R_bk)))
+        R_bk = qnp.quat_to_rot(q_bl[k])
+        est.q[k] = qnp.rot_to_quat(R0 @ R_bk)
         est.v[k] = R0 @ (R_bk @ vels_body[k])
         est.ba[k] = 0.0
         est.bg[k] = bg

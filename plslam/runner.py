@@ -211,21 +211,25 @@ def run_euroc(
             img = _load(k)
         publish = k % stride == 0
         want_pts = publish or viz is not None
-        out = fp.process(img, t, want_output=want_pts)
+        # "defer": both frontends DISPATCH first, then their bundle pulls
+        # overlap each other's device round trips (a fresh readback costs
+        # ~25–50 ms through the TPU tunnel regardless of size)
+        out_h = fp.process(img, t, want_output="defer" if want_pts else False)
         if fLines is not None:
             # share the point frontend's device-resident pyramid: level 0 IS
             # the uploaded image (no second 1.4 MB H2D), level 1 the line
             # octave (same 5-tap blur + decimate)
             oct1 = fp.prev_pyr[1] if fp.prev_pyr is not None and len(fp.prev_pyr) > 1 else None
             img_dev = fp.prev_pyr[0] if fp.prev_pyr is not None else img
-            ln_out = fLines.process(img_dev, t, oct1=oct1, want_output=publish)
+            ln_h = fLines.process(img_dev, t, oct1=oct1,
+                                  want_output="defer" if publish else False)
         if viz is not None:
-            ids, pts, vel, uv = out
+            ids, pts, vel, uv = out_h.get()
             viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])
         if not publish:
             continue  # tracked on device, not published (FREQ control)
-        ids, pts, vel, uv = out
-        ln_ids, ln_segs = ln_out if fLines is not None else (None, None)
+        ids, pts, vel, uv = out_h.get()
+        ln_ids, ln_segs = ln_h.get() if fLines is not None else (None, None)
         n_pub += 1
         # publish-frame output work of the PREVIOUS published frame runs here
         # — its deferred solve's round trip overlapped this frame's decode +

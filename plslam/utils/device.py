@@ -22,3 +22,17 @@ import numpy as np
 def asdev(x, dtype=None):
     """`jnp.asarray` with a guaranteed host-side copy first."""
     return jnp.asarray(np.array(x), dtype)
+
+
+def pull_all(*xs):
+    """Read several device arrays back to host with OVERLAPPED round trips.
+
+    A fresh device→host readback through the TPU tunnel costs ~25–50 ms
+    regardless of size, but concurrent pulls overlap (measured: 2 pulls in
+    42 ms vs 83 ms serially). Start every copy async, then materialize."""
+    for x in xs:
+        try:
+            x.copy_to_host_async()
+        except Exception:
+            pass
+    return [np.asarray(x) for x in xs]

@@ -79,7 +79,9 @@ def _wrap(cls, name, tag):
     def f(self, *a, **k):
         t0 = time.perf_counter()
         out = orig(self, *a, **k)
-        REC[tag].append(time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        REC[tag].append(t1 - t0)
+        REC[tag + "_at"].append(t1)
         return out
 
     setattr(cls, name, f)
@@ -106,6 +108,11 @@ def measure():
     ate = ate_rmse(ts, ps, meta["gt_t"], meta["gt_p"], align="yaw")
 
     # instrument phases for the measured pass
+    from plslam.models.frontend_points import OutputHandle
+    from plslam.runner import ImuFeeder
+
+    _wrap(OutputHandle, "get", "handle_get(pull)")
+    _wrap(ImuFeeder, "feed_until", "imu_feed")
     _wrap(FrontendPoints, "process", "frontend_points")
     _wrap(FrontendLines, "process", "frontend_lines")
     _wrap(Estimator, "process_frame", "process_frame")
@@ -122,11 +129,13 @@ def measure():
     n_pub = len(est.metrics)
     n_solved = sum(1 for m in est.metrics if "cost" in m)
 
+
     print(f"\nwarmup pass: {warm_s:.1f} s   ATE(yaw) {ate:.3f} m", file=sys.stderr)
     print(f"measured pass: {wall:.2f} s  {n_cam} camera frames, "
           f"{n_pub} published, {n_solved} solved", file=sys.stderr)
     print("\nphase breakdown (measured pass):", file=sys.stderr)
-    for tag in ("frontend_points", "frontend_lines", "process_frame",
+    for tag in ("frontend_points", "frontend_lines", "handle_get(pull)",
+                "imu_feed", "process_frame",
                 "  dispatch_solve", "    pack_factors", "    device_state",
                 "  finalize(pull)", "    slide"):
         v = REC.get(tag, [])
@@ -136,10 +145,19 @@ def measure():
         print(f"  {tag:22s} n={len(v):4d} mean={1e3*v.mean():7.2f} ms "
               f"median={1e3*np.median(v):7.2f} ms total={v.sum():6.2f} s",
               file=sys.stderr)
+    # steady-state fps over the second half of camera frames: excludes the
+    # once-per-session initialization (`initialStructure` — a pull-heavy host
+    # path) and any residual warm-up
+    at = REC.get("frontend_points_at", [])
+    steady = None
+    if len(at) > 20:
+        half = len(at) // 2
+        steady = round((len(at) - half) / (at[-1] - at[half]), 2)
     result = {
         "metric": "run_euroc_camera_fps", "value": round(n_cam / wall, 2),
         "published_fps": round(n_pub / wall, 2),
         "solved_fps": round(n_solved / wall, 2),
+        "steady_fps": steady,
         "ate_m": round(float(ate), 4), "wall_s": round(wall, 2),
     }
     print(json.dumps(result))
