@@ -37,6 +37,9 @@ class TrackerConfig:
     min_score: float = 1e-4  # Shi-Tomasi quality gate (goodFeaturesToTrack qualityLevel)
     equalize: bool = True
     fisheye: bool = False
+    # optional mask image path (the reference's fisheye_mask.jpg): nonzero
+    # pixels = usable FOV. Empty string = the standard centered circle.
+    fisheye_mask: str = ""
     show_track: bool = False
     # line tracker
     max_lines: int = 64
@@ -164,6 +167,7 @@ class PLSlamConfig:
             max_cnt=g("max_cnt", 150), min_dist=g("min_dist", 30),
             freq=g("freq", 10), f_threshold=g("F_threshold", 1.0),
             equalize=bool(g("equalize", 1)), fisheye=bool(g("fisheye", 0)),
+            fisheye_mask=str(g("fisheye_mask", "")),
             show_track=bool(g("show_track", 0)),
             min_score=g("min_score", 1e-4),
             max_lines=g("max_lines", 64),

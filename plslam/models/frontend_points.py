@@ -434,16 +434,18 @@ class FrontendPoints:
 
     def __init__(self, cam: PinholeRadTan, max_cnt=150, min_dist=30, f_thresh_px=1.0,
                  focal=460.0, dtype=jnp.float32, use_pallas: bool | None = None,
-                 min_score=1e-4, fisheye: bool = False):
+                 min_score=1e-4, fisheye: bool = False, fisheye_mask=None):
         self.cam = cam
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.dtype = dtype
         self.min_score = min_score  # detection quality gate (goodFeaturesToTrack qualityLevel)
-        # fisheye circular FOV mask (the reference loads fisheye_mask.jpg and
-        # drops features outside it — here the standard centered circle)
-        self.fisheye = fisheye
+        # fisheye FOV mask (`fisheye_mask.jpg` in the reference): either an
+        # explicit [H,W] 0/1 mask image or the standard centered circle
+        self.fisheye = fisheye or fisheye_mask is not None
+        self._mask_img = (jnp.asarray(np.asarray(fisheye_mask) > 0.5, dtype)
+                          if fisheye_mask is not None else None)
         # default tracker: the batched-matmul LK (fastest everywhere); the
         # per-feature Pallas kernel stays available for comparison
         self.use_pallas = False if use_pallas is None else use_pallas
@@ -461,7 +463,7 @@ class FrontendPoints:
     # ------------------------------------------------------------- programs
     def _programs(self):
         return _pt_programs(self.min_dist, self.max_cnt, self.use_pallas,
-                            self.fisheye, self.dtype)
+                            self.fisheye, self._mask_img is not None, self.dtype)
 
     # --------------------------------------------------------------- ticking
     def process(self, img, t: float, want_output: bool = True):
@@ -475,15 +477,20 @@ class FrontendPoints:
         prog, det_prog = self._programs()
         img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
         if self.prev_pyr is None:
+            mask_arg = (self._mask_img if self._mask_img is not None
+                        else jnp.zeros((1, 1), self.dtype))
             self.prev_pyr, self._state, bundle = det_prog(
-                self.cam, img_j, jnp.asarray(self.min_score, self.dtype))
+                self.cam, img_j, jnp.asarray(self.min_score, self.dtype), mask_arg)
         else:
             key = jax.random.fold_in(self._key, self._frame_i)
             dt = (t - self.prev_t) if self.prev_t is not None else 0.0
+            mask_arg = (self._mask_img if self._mask_img is not None
+                        else jnp.zeros((1, 1), self.dtype))
             self.prev_pyr, self._state, bundle = prog(
                 self.cam, self.prev_pyr, img_j, self._state,
                 jnp.asarray(self.f_thresh, self.dtype), key,
-                jnp.asarray(dt, self.dtype), jnp.asarray(self.min_score, self.dtype))
+                jnp.asarray(dt, self.dtype), jnp.asarray(self.min_score, self.dtype),
+                mask_arg)
         self._frame_i += 1
         self.prev_t = t
         if not want_output:
@@ -507,7 +514,8 @@ from functools import lru_cache  # noqa: E402
 
 
 @lru_cache(maxsize=None)
-def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
+def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
+                 mask_img: bool, dtype):
     """Build the fused per-frame programs ONCE per static config (module
     -level cache: per-instance closures would recompile for every new
     FrontendPoints — seconds per compile through the TPU tunnel). The camera
@@ -517,7 +525,12 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
     REGARDLESS of size (measured; execution and H2D are fast) — so the whole
     tick is one dispatch and at most one pull."""
 
-    def in_fov(uv, shape):
+    def in_fov(uv, shape, mask):
+        if mask_img:  # explicit fisheye_mask image: nonzero = usable FOV
+            h, w = mask.shape
+            xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+            yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+            return mask[yi, xi] > 0.5
         h, w = shape
         r = 0.5 * min(h, w) - 3.0
         d2 = (uv[:, 0] - w / 2.0) ** 2 + (uv[:, 1] - h / 2.0) ** 2
@@ -531,7 +544,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
         ], axis=1)  # [N,9]
 
     @jax.jit
-    def prog(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score):
+    def prog(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score, fov_mask):
         uv0, valid0, norm0, ids0, cnt0, next_id = state
         pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
         if use_pallas:
@@ -542,7 +555,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
             track_uv, status = lk_track_fast(pyr_prev, pyr_new, uv0, valid0)
         ok = status & valid0
         if fisheye:
-            ok = ok & in_fov(track_uv, img_new.shape)
+            ok = ok & in_fov(track_uv, img_new.shape, fov_mask)
         norm_t = lift(cam, track_uv)
         inl = fundamental_ransac(norm0, norm_t, ok, f_thresh, key=key)
         ok = jnp.where(jnp.sum(ok) >= 8, ok & inl, ok)  # host path skipped <8
@@ -551,7 +564,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
         det_norm = lift(cam, det_uv)
         det_good = det_sc > min_score
         if fisheye:
-            det_good = det_good & in_fov(det_uv, img_new.shape)
+            det_good = det_good & in_fov(det_uv, img_new.shape, fov_mask)
         # refill: free slot of rank r takes candidate r (candidates are
         # score-sorted and the quality gate is monotone in score, so good
         # candidates are a prefix — identical to the compacting host loop)
@@ -572,7 +585,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
         return tuple(pyr_new), (uv1, valid1, norm1, ids1, cnt1, next1), bundle
 
     @jax.jit
-    def det_prog(cam, img, min_score):
+    def det_prog(cam, img, min_score, fov_mask):
         pyr = build_pyramid(img, levels=auto_levels(img.shape))
         det_uv, det_sc = shi_tomasi_grid(
             pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros((1,), dtype),
@@ -580,7 +593,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool, dtype):
         det_norm = lift(cam, det_uv)
         good = det_sc > min_score
         if fisheye:
-            good = good & in_fov(det_uv, img.shape)
+            good = good & in_fov(det_uv, img.shape, fov_mask)
         ids = jnp.where(good, jnp.cumsum(good) - 1, -1).astype(jnp.int32)
         cnt = good.astype(jnp.int32)
         next_id = jnp.sum(good).astype(jnp.int32)

@@ -100,11 +100,26 @@ def run_euroc(
         config.camera.k1, config.camera.k2, config.camera.p1, config.camera.p2,
     )
     est = Estimator(config)
+    # the reference loads `fisheye_mask.jpg` (nonzero = usable FOV); absent a
+    # file, `fisheye: 1` falls back to the standard centered circle
+    fisheye_mask = None
+    if config.tracker.fisheye and config.tracker.fisheye_mask:
+        from plslam.io import native
+
+        fisheye_mask = native.load_png_gray(config.tracker.fisheye_mask)
+        if fisheye_mask is None:
+            import sys
+
+            print(f"warning: could not load fisheye_mask "
+                  f"{config.tracker.fisheye_mask!r}; using centered circle",
+                  file=sys.stderr)
     fp = FrontendPoints(cam, max_cnt=config.tracker.max_cnt,
                         min_dist=config.tracker.min_dist,
                         f_thresh_px=config.tracker.f_threshold,
                         focal=config.camera.fx,  # px→normalized via the real camera
-                        min_score=config.tracker.min_score)
+                        min_score=config.tracker.min_score,
+                        fisheye=config.tracker.fisheye,
+                        fisheye_mask=fisheye_mask)
     fLines = FrontendLines(cam, max_lines=config.tracker.max_lines,
                            binary_desc=config.tracker.line_desc == "binary") if use_lines else None
     pgraph = PoseGraph(config.loop, focal=config.solver.focal_length,

@@ -188,3 +188,24 @@ def test_binarize_lbd_hamming_discriminative(rng):
     assert (np.diag(dist) < 45).all(), dist
     off = dist[~np.eye(len(segs_gt), dtype=bool)]
     assert off.min() > 70, dist
+
+
+def test_fisheye_mask_image(rng):
+    """Explicit fisheye_mask image (the reference's fisheye_mask.jpg):
+    features must only live where the mask is nonzero."""
+    img1 = smooth_texture(rng, 240, 320)
+    img2 = shift_image(img1, 2.0, 1.0)
+    mask = np.zeros((240, 320), np.float32)
+    mask[:, 160:] = 1.0  # right half usable
+    cam = PinholeRadTan.create(300.0, 300.0, 160.0, 120.0)
+    fe = fp.FrontendPoints(cam, max_cnt=64, min_dist=16, fisheye_mask=mask)
+    ids1, pts1, vel1, uv1 = fe.process(img1, 0.0)
+    ids2, pts2, vel2, uv2 = fe.process(img2, 0.05)
+    assert len(uv1) > 5 and len(uv2) > 5
+    assert (uv1[:, 0] >= 159.5).all(), uv1[:, 0].min()
+    assert (uv2[:, 0] >= 159.5).all(), uv2[:, 0].min()
+    # circle fallback still works
+    fe2 = fp.FrontendPoints(cam, max_cnt=64, min_dist=16, fisheye=True)
+    _, _, _, uvc = fe2.process(img1, 0.0)
+    r = np.hypot(uvc[:, 0] - 160.0, uvc[:, 1] - 120.0)
+    assert (r <= 0.5 * 240 - 2.5).all()
