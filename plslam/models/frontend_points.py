@@ -607,7 +607,8 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
 class OutputHandle:
     """Deferred readback of a frontend bundle: the host copy starts
     immediately (async); .get() materializes it — pulling multiple handles
-    back-to-back overlaps their device round trips."""
+    back-to-back overlaps their device round trips, and `get_joint`
+    concatenates several bundles on device so they cost ONE round trip."""
 
     def __init__(self, bundle, unpack):
         try:
@@ -618,9 +619,34 @@ class OutputHandle:
         self._unpack = unpack
         self._out = None
 
+    def _finish(self, b):
+        self._out = self._unpack(b)
+        self._bundle = None
+        self._unpack = None
+        return self._out
+
     def get(self):
         if self._unpack is not None:
-            self._out = self._unpack(np.array(self._bundle))
-            self._bundle = None
-            self._unpack = None
+            return self._finish(np.array(self._bundle))
         return self._out
+
+    @staticmethod
+    def get_joint(*handles):
+        """Materialize several handles with ONE device→host round trip:
+        concatenate the raveled bundles in a tiny device program, pull once,
+        split on host. Returns the tuple of unpacked outputs."""
+        pend = [h for h in handles if h._unpack is not None]
+        if len(pend) >= 2:
+            cat = _cat_jit(tuple(h._bundle for h in pend))
+            flat = np.array(cat)
+            off = 0
+            for h in pend:
+                n = int(np.prod(h._bundle.shape))
+                h._finish(flat[off: off + n].reshape(h._bundle.shape))
+                off += n
+        return tuple(h.get() for h in handles)
+
+
+@jax.jit
+def _cat_jit(bundles: tuple):
+    return jnp.concatenate([b.reshape(-1) for b in bundles])

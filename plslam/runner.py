@@ -243,8 +243,14 @@ def run_euroc(
             viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])
         if not publish:
             continue  # tracked on device, not published (FREQ control)
-        ids, pts, vel, uv = out_h.get()
-        ln_ids, ln_segs = ln_h.get() if fLines is not None else (None, None)
+        if fLines is not None:
+            # both frontend bundles ride ONE device→host round trip
+            from plslam.models.frontend_points import OutputHandle
+
+            (ids, pts, vel, uv), (ln_ids, ln_segs) = OutputHandle.get_joint(out_h, ln_h)
+        else:
+            ids, pts, vel, uv = out_h.get()
+            ln_ids, ln_segs = None, None
         n_pub += 1
         # publish-frame output work of the PREVIOUS published frame runs here
         # — its deferred solve's round trip overlapped this frame's decode +

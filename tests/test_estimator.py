@@ -142,3 +142,18 @@ def test_deferred_solve_bit_identical(seq):
     costs_a = [m.get("cost") for m in est_a.metrics if "cost" in m]
     costs_b = [m.get("cost") for m in est_b.metrics if "cost" in m]
     assert costs_a == costs_b
+
+
+def test_vio_anchored_line_chart(seq):
+    """End-to-end with the `…_incamera` anchored line chart (ADVICE r2 #3):
+    exercises the estimator's chart round-trip through the fused backend —
+    lines solved in the anchor-camera chart, marginalized with the carried
+    residual groups, converted back through world coordinates each frame."""
+    cfg = PLSlamConfig(
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
+                            line_param="incamera"),
+    )
+    ts, ps, qs, est = run_synthetic(seq, cfg, oracle_init=True, use_lines=True)
+    assert est.initialized
+    ate = _ate(seq, ts, ps)
+    assert ate < 0.05, f"ATE {ate:.4f} m"
