@@ -410,45 +410,10 @@ class FrontendLines:
         self.binary_desc = binary_desc
         self.pallas = (jax.default_backend() == "tpu") if pallas is None else pallas
         self.prev = None  # (segs, desc, valid, ids)
-        self.next_id = 0
-        self._prog = None
 
     def _program(self):
         return _ln_program(self.max_lines, self.octaves, self.binary_desc,
                            self.pallas, self.dtype)
-
-    def _detect_multiscale(self, img_j, oct1=None):
-        """Detect on an octave pyramid and merge (the reference's
-        `LSDDetector::detect` scale loop): coarse octaves find long
-        low-contrast structure the fine octave splits or misses.
-
-        `oct1`: optional precomputed half-resolution image (the point
-        frontend's pyramid level 1 — same 5-tap binomial blur + decimate), so
-        the two frontends share one downsample per frame."""
-        all_segs, all_scores, all_valid = [], [], []
-        cur = img_j
-        for o in range(self.octaves):
-            mag, ang, edge = edge_map(cur)
-            segs, score, valid = detect_segments(
-                mag, ang, edge, *cur.shape, max_out=self.max_lines
-            )
-            s = float(2**o)
-            all_segs.append(segs * s)
-            all_scores.append(score * s)
-            all_valid.append(valid)
-            if o + 1 < self.octaves:
-                if o == 0 and oct1 is not None:
-                    cur = jnp.asarray(oct1, img_j.dtype)
-                    continue
-                k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img_j.dtype) / 16.0
-                from plslam.models.frontend_points import _sep_conv
-
-                cur = _sep_conv(cur, k)[::2, ::2]
-        segs, score, valid = merge_candidates(
-            jnp.concatenate(all_segs), jnp.concatenate(all_scores),
-            jnp.concatenate(all_valid), max_out=self.max_lines,
-        )
-        return np.asarray(segs, np.float64), np.asarray(score), np.asarray(valid)
 
     def process(self, img, t: float, oct1=None, want_output: bool = True):
         """One frame tick. With want_output=True pulls ONE bundle and returns
@@ -475,10 +440,11 @@ class FrontendLines:
         if not want_output:
             return None
 
-        def unpack(b):
+        def unpack(parts):
+            b, ids_i = parts
             sp, ep = b[:, 0:2].astype(np.float64), b[:, 2:4].astype(np.float64)
             v = b[:, 4] > 0
-            ids = b[:, 5].copy().view(np.int32).astype(np.int64)
+            ids = ids_i.astype(np.int64)
             out = v & (ids >= 0)
             return ids[out], np.concatenate([sp[out], ep[out]], axis=1)
 
@@ -546,10 +512,9 @@ def _ln_program(max_lines: int, octaves: int, binary: bool, pallas: bool, dtype)
         next1 = next_id + jnp.sum(newly).astype(jnp.int32)
         sp = lift(cam, segs[:, 0:2])
         ep = lift(cam, segs[:, 2:4])
-        bundle = jnp.concatenate([
-            sp, ep, valid_f[:, None],
-            jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None],
-        ], axis=1)  # [L,6]
-        return (segs, desc, valid_f, ids, next1), bundle
+        # ids stay a SEPARATE int32 array (bitcast-into-f32 lanes are
+        # denormals on TPU and get flushed to zero by downstream ops)
+        bundle = jnp.concatenate([sp, ep, valid_f[:, None]], axis=1)  # [L,5]
+        return (segs, desc, valid_f, ids, next1), (bundle, ids)
 
     return prog

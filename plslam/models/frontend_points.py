@@ -375,9 +375,11 @@ def fundamental_ransac(p1, p2, valid, thresh, iters: int = 100, key=None):
     # hypothesis → NaN F → zero inliers, same as a degenerate SVD sample.
     gumbel = jax.random.gumbel(key, (iters, n), dtype)
     score = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    # approx_max_k: exact top_k is a full sort on TPU (measured +1 ms here);
-    # the samples are random anyway, so approximate recall is free
-    _, samples = jax.lax.approx_max_k(score, 8)  # [iters,8]
+    # exact top_k (a sort): approx_max_k saved ~1 ms in the fused tick but its
+    # binned sampling coincided with an initialization failure on the noisy
+    # fps dataset on TPU (CPU falls back to exact and initialized fine) —
+    # robustness of the RANSAC draw wins over the millisecond
+    _, samples = jax.lax.top_k(score, 8)  # [iters,8]
 
     x1 = jnp.concatenate([p1, jnp.ones((n, 1), dtype)], axis=1)
     x2 = jnp.concatenate([p2, jnp.ones((n, 1), dtype)], axis=1)
@@ -454,8 +456,6 @@ class FrontendPoints:
         self.prev_t = None
         self._key = jax.random.PRNGKey(7)
         self._frame_i = 0
-        self._prog = None
-        self._det_prog = None
         # host mirrors of the last PULLED frame (viz / debugging only)
         self.prev_valid = np.zeros(max_cnt, bool)
         self.track_cnt = np.zeros(max_cnt, np.int64)
@@ -496,14 +496,15 @@ class FrontendPoints:
         if not want_output:
             return None
 
-        def unpack(b):
+        def unpack(parts):
+            b, ids_i = parts
             uv = b[:, 0:2].astype(np.float64)
             norm = b[:, 2:4].astype(np.float64)
             vel = b[:, 4:6].astype(np.float64)
             valid = b[:, 6] > 0
-            ids = b[:, 7].copy().view(np.int32).astype(np.int64)
+            ids = ids_i.astype(np.int64)
             self.prev_valid = valid
-            self.track_cnt = b[:, 8].astype(np.int64)
+            self.track_cnt = b[:, 7].astype(np.int64)
             return ids[valid], norm[valid], vel[valid], uv[valid]
 
         h = OutputHandle(bundle, unpack)
@@ -537,11 +538,14 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         return d2 <= r * r
 
     def pack(uv, norm, vel, valid, ids, track_cnt):
-        return jnp.concatenate([
+        # ids stay a SEPARATE int32 array: bitcasting them into f32 lanes
+        # made small ids denormal floats, and any further TPU op on the
+        # bundle (e.g. the joint-pull concat) flushes denormals to zero
+        bundle_f = jnp.concatenate([
             uv, norm, vel, valid.astype(dtype)[:, None],
-            jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None].astype(dtype),
             track_cnt.astype(dtype)[:, None],
-        ], axis=1)  # [N,9]
+        ], axis=1)  # [N,8]
+        return bundle_f, ids
 
     @jax.jit
     def prog(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score, fov_mask):
@@ -605,45 +609,64 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
 
 
 class OutputHandle:
-    """Deferred readback of a frontend bundle: the host copy starts
-    immediately (async); .get() materializes it — pulling multiple handles
-    back-to-back overlaps their device round trips, and `get_joint`
-    concatenates several bundles on device so they cost ONE round trip."""
+    """Deferred readback of frontend bundles (a tuple of device arrays, one
+    per dtype — ids stay int32): the host copies start immediately (async);
+    .get() materializes them — pulling multiple handles back-to-back
+    overlaps their device round trips, and `get_joint` concatenates all
+    bundles per dtype on device so N handles cost one round trip per dtype
+    (the concats are SAME-DTYPE only: routing int32 ids through f32 lanes
+    flushes denormal bit patterns to zero on TPU)."""
 
-    def __init__(self, bundle, unpack):
-        try:
-            bundle.copy_to_host_async()
-        except Exception:
-            pass
-        self._bundle = bundle
+    def __init__(self, bundles, unpack):
+        if not isinstance(bundles, tuple):
+            bundles = (bundles,)
+        for b in bundles:
+            try:
+                b.copy_to_host_async()
+            except Exception:
+                pass
+        self._bundles = bundles
         self._unpack = unpack
         self._out = None
 
-    def _finish(self, b):
-        self._out = self._unpack(b)
-        self._bundle = None
+    def _finish(self, parts):
+        self._out = self._unpack(parts if len(parts) > 1 else parts[0])
+        self._bundles = None
         self._unpack = None
         return self._out
 
     def get(self):
         if self._unpack is not None:
-            return self._finish(np.array(self._bundle))
+            return self._finish(tuple(np.array(b) for b in self._bundles))
         return self._out
 
     @staticmethod
     def get_joint(*handles):
-        """Materialize several handles with ONE device→host round trip:
-        concatenate the raveled bundles in a tiny device program, pull once,
-        split on host. Returns the tuple of unpacked outputs."""
+        """Materialize several handles with one round trip per dtype group."""
         pend = [h for h in handles if h._unpack is not None]
-        if len(pend) >= 2:
-            cat = _cat_jit(tuple(h._bundle for h in pend))
-            flat = np.array(cat)
-            off = 0
+        items = [(h, i, b) for h in pend for i, b in enumerate(h._bundles)]
+        if len(items) >= 2:
+            groups = {}
+            for key, (h, i, b) in enumerate(items):
+                groups.setdefault(str(b.dtype), []).append((h, i, b))
+            flats = {}
+            cats = {dt: _cat_jit(tuple(b for _, _, b in g)) for dt, g in groups.items()}
+            for c in cats.values():
+                try:
+                    c.copy_to_host_async()
+                except Exception:
+                    pass
+            for dt, c in cats.items():
+                flats[dt] = np.array(c)
+            parts = {id(h): [None] * len(h._bundles) for h in pend}
+            for dt, g in groups.items():
+                off = 0
+                for h, i, b in g:
+                    n = int(np.prod(b.shape))
+                    parts[id(h)][i] = flats[dt][off: off + n].reshape(b.shape)
+                    off += n
             for h in pend:
-                n = int(np.prod(h._bundle.shape))
-                h._finish(flat[off: off + n].reshape(h._bundle.shape))
-                off += n
+                h._finish(tuple(parts[id(h)]))
         return tuple(h.get() for h in handles)
 
 
