@@ -125,6 +125,11 @@ class LoopConfig:
     # candidates bypass this (fast_relocalization wants immediacy).
     loop_consistency: int = 2
     consistency_gap: int = 12
+    # global-descriptor cosine acceptance threshold of detectLoop (the
+    # reference's 0.05/0.015 DBoW2 scores; ours is on the sign-random
+    # -projection descriptor's scale — tuned on the rendered aliased-rooms
+    # scene, tests/test_loop_e2e.py)
+    loop_min_score: float = 0.15
 
 
 @dataclass(frozen=True)
@@ -173,6 +178,7 @@ class PLSlamConfig:
             max_lines=g("max_lines", 64),
             lsd_min_length=g("lsd_min_length", 30.0),
             lbd_match_thresh=g("lbd_match_thresh", 30),
+            line_desc=str(g("line_desc", "float")),
         )
         solver = SolverConfig(
             max_num_iterations=g("max_num_iterations", 8),
@@ -214,6 +220,9 @@ class PLSlamConfig:
             max_loop_yaw_deg=g("max_loop_yaw_deg", 30.0),
             max_loop_translation=g("max_loop_translation", 20.0),
             max_keyframes=g("max_keyframes", 2048),
+            loop_consistency=g("loop_consistency", 2),
+            consistency_gap=g("consistency_gap", 12),
+            loop_min_score=g("loop_min_score", 0.15),
         )
         return PLSlamConfig(
             camera=cam, tracker=tracker, solver=solver, imu=imu, extrinsic=ext,

@@ -165,8 +165,13 @@ def make_sequence(
     pix_noise: float = 0.0,
     cam: PinholeRadTan | None = None,
     seed: int = 0,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> SyntheticSequence:
+    # default dtype: f64 only when the runtime actually has it — requesting
+    # f64 under an f32-only runtime (TPU bench/dryrun) truncates silently and
+    # spams a warning per array, burying real warnings in BENCH/MULTICHIP logs
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.x64_enabled else jnp.float32
     rng = np.random.default_rng(seed)
     if cam is None:
         cam = PinholeRadTan.euroc_cam0(dtype)

@@ -129,7 +129,9 @@ class Estimator:
         self.prior: Optional[marg.Prior] = None
         self.last_acc = None
         self.last_gyr = None
-        self.metrics: list[dict] = []
+        # observability log persists across failure-triggered re-inits (the
+        # failure entry itself must stay visible to monitoring)
+        self.metrics: list[dict] = getattr(self, "metrics", [])
         self._zero_state_cache = getattr(self, "_zero_state_cache", None)
         self._zero_pre_cache = getattr(self, "_zero_pre_cache", None)
         self._empty_factors_cache = getattr(self, "_empty_factors_cache", None)
@@ -138,6 +140,14 @@ class Estimator:
         self._kf_snapshot = None
         self.relo: Optional[dict] = None  # pending relocalization frame
         self.relo_result: Optional[dict] = None  # refined relative pose out
+        # ESTIMATE_EXTRINSIC=2: the body↔camera rotation is unknown — run the
+        # hand-eye calibration on live rotation-delta pairs until the
+        # excitation criterion passes, THEN allow initialization and fall into
+        # =1 in-solver refinement (the reference's `CalibrationExRotation`
+        # loop in processImage, SURVEY.md §2.3 `initial_ex_rotation` row)
+        self.ex_calibrated = self.config.extrinsic.estimate_extrinsic != 2
+        self._ex_qcam: list = []
+        self._ex_qimu: list = []
 
     # ---------------------------------------------------------------- inputs
     def process_imu(self, dt: float, acc, gyr):
@@ -235,6 +245,9 @@ class Estimator:
         if ln_ids is not None and len(ln_ids):
             self.ln_table.add_frame(fc, ln_ids, ln_obs)
 
+        if not self.ex_calibrated and fc >= 1:
+            self._calibrate_extrinsic_step(fc)
+
         keyframe = self.pt_table.parallax_keyframe_decision(fc)
         marg_flag = MARGIN_OLD if keyframe else MARGIN_SECOND_NEW
         # MARGIN_SECOND_NEW merges interval (nw-1→nw) into (nw-2→nw-1); if the
@@ -253,8 +266,15 @@ class Estimator:
             self.q[fc] = oracle_state["q"]
             self.v[fc] = oracle_state["v"]
 
+        # long_tracked = features re-observed in THIS frame with ≥2 window
+        # observations — the reference's `last_track_num`, which its
+        # failureDetection fires on when it collapses (<2: texture-less
+        # stretch / blanked frames — SURVEY.md §5.3)
+        long_tracked = (self.pt_table.mask[:, fc] > 0) & (
+            np.sum(self.pt_table.mask, axis=1) >= 2)
         m = {"t": t, "frame": fc, "keyframe": bool(keyframe),
-             "tracked": int(self.pt_table.active.sum())}
+             "tracked": int(self.pt_table.active.sum()),
+             "long_tracked": int(long_tracked.sum())}
 
         if self.frame_count < self.cfg.window_size:
             # window still filling
@@ -273,7 +293,10 @@ class Estimator:
             else:
                 from plslam.models import initializer
 
-                if initializer.try_initialize(self):
+                # ESTIMATE_EXTRINSIC=2 gates initialization until the
+                # hand-eye calibration converges (the reference's
+                # `initialStructure` requires ESTIMATE_EXTRINSIC != 2)
+                if self.ex_calibrated and initializer.try_initialize(self):
                     self.initialized = True
                 else:
                     self._slide_uninitialized()
@@ -286,8 +309,11 @@ class Estimator:
         # samples arriving before finalize() land in the right interval
         self.imu_bufs.append(ImuBuffer())
         self.pres.append(None)
+        # record WHICH relo request (if any) the dispatched bundle solved:
+        # a set_relo_frame between dispatch and finalize must not be consumed
+        # against this bundle's (zero-state) relo outputs
         self._pending = dict(bundle=bundle_dev, prior=prior, mode=mode,
-                             marg_flag=marg_flag, m=m)
+                             marg_flag=marg_flag, m=m, relo=self.relo)
         if not defer_solve:
             self.finalize()
         return m
@@ -302,8 +328,8 @@ class Estimator:
         pend, self._pending = self._pending, None
         m = pend["m"]
         self._pending_prior = pend["prior"] if pend["mode"] != "none" else None
-        m.update(self._finish_solve(pend["bundle"]))
-        if self._failure_detection():
+        m.update(self._finish_solve(pend["bundle"], pend["relo"]))
+        if self._failure_detection(m):
             m["failure"] = True
             self.metrics.append(m)
             self.clear_state()
@@ -311,6 +337,49 @@ class Estimator:
         self._slide(pend["marg_flag"])
         self._replay_open_buffer()
         self.metrics.append(m)
+
+    # ------------------------------------------------- extrinsic calibration
+    def _gyro_delta_q(self, fc: int):
+        """Gyro-only midpoint rotation delta over the interval ending at frame
+        fc (the bias-free `delta_q` the reference's CalibrationExRotation
+        paired with the visual delta) — pure host numpy, no device readback."""
+        buf = self.imu_bufs[fc] if fc < len(self.imu_bufs) else None
+        if buf is None or not buf.seeded or not buf.dt:
+            return None
+        bg = self.bg[max(fc - 1, 0)]
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+        for i, dt in enumerate(buf.dt):
+            w_mid = 0.5 * (buf.gyr[i] + buf.gyr[i + 1]) - bg
+            q = qnp.quat_normalize(qnp.quat_mul(q, qnp.quat_exp(w_mid * dt)))
+        return q
+
+    def _calibrate_extrinsic_step(self, fc: int):
+        """ESTIMATE_EXTRINSIC=2 live flow (`CalibrationExRotation` per frame,
+        SURVEY.md §2.3): pair the camera rotation delta between the two newest
+        frames (8-pt essential on tracked correspondences — runs only while
+        uncalibrated) with the gyro-integrated IMU delta; the hand-eye LS
+        installs R_bc once the rotational-excitation criterion passes, after
+        which estimate_extrinsic behaves like =1 (in-solver refinement)."""
+        from plslam.models import initializer as ini
+
+        tbl = self.pt_table
+        both = tbl.active & (tbl.mask[:, fc - 1] > 0) & (tbl.mask[:, fc] > 0)
+        if both.sum() >= 9:
+            out = ini.essential_ransac(tbl.obs[both, fc - 1], tbl.obs[both, fc],
+                                       iters=60)
+            if out is not None:
+                R, _, _ = out  # x_fc = R x_{fc-1} (camera frames, up to t)
+                q_cam = qnp.rot_to_quat(R.T)  # q_c(fc-1)→c(fc)
+                q_imu = self._gyro_delta_q(fc)
+                if q_imu is not None:
+                    self._ex_qcam.append(q_cam)
+                    self._ex_qimu.append(q_imu)
+        if len(self._ex_qcam) >= self.cfg.window_size:
+            q_bc, ok = ini.calibrate_extrinsic_rotation(self._ex_qcam, self._ex_qimu)
+            if ok:
+                self.q_bc = np.asarray(q_bc, np.float64)
+                self.ex_calibrated = True
+                self._ex_qcam, self._ex_qimu = [], []
 
     # --------------------------------------------------------- relocalization
     def set_relo_frame(self, match_ids, match_obs_norm, relo_p, relo_q):
@@ -343,7 +412,6 @@ class Estimator:
         q_rel = qnp.quat_mul(qnp.quat_conj(q_old), q_cur)
         t_rel = qnp.quat_rotate(qnp.quat_conj(q_old), p_cur - p_old)
         self.relo_result = dict(t=t_rel, q=q_rel, p_old=p_old, q_old=q_old)
-        self.relo = None
 
     # ------------------------------------------------------------ device I/O
     def _device_state(self) -> WindowState:
@@ -476,7 +544,7 @@ class Estimator:
             pass
         return bundle_dev, prior, mode
 
-    def _finish_solve(self, bundle_dev) -> dict:
+    def _finish_solve(self, bundle_dev, dispatched_relo=None) -> dict:
         tbl, ltb = self.pt_table, self.ln_table
         nw, MF, ML = self.cfg.window_size, self.cfg.max_features, self.cfg.max_line_feats
         # np.array (copy): device views are read-only, host state is mutated
@@ -529,17 +597,25 @@ class Estimator:
         kf_m = pt_valid & (tbl.mask[:, nw] > 0) & (tbl.ids >= 0)
         self._kf_snapshot = (tbl.ids[kf_m].copy(), tbl.obs[kf_m, nw].copy(),
                              p_w[kf_m].copy())
-        if self.relo is not None:
+        if dispatched_relo is not None:
+            # extract only the relo that was actually IN the dispatched solve;
+            # clear the live request only if it is still that same one (a
+            # fresher set_relo_frame stays pending for the next solve)
             self._extract_relo_result(relo_p, relo_q, self.p[nw], self.q[nw])
+            if self.relo is dispatched_relo:
+                self.relo = None
         return dict(
             cost0=float(cost0), cost=float(cost), cost_robust0=float(cr0),
             cost_robust=float(cr), iters_accepted=int(acc),
             n_pts=int(pt_valid.sum()), n_lines=int(ln_solved.sum()),
         )
 
-    def _failure_detection(self) -> bool:
-        """`Estimator::failureDetection` (SURVEY.md §5.3)."""
+    def _failure_detection(self, m: Optional[dict] = None) -> bool:
+        """`Estimator::failureDetection` (SURVEY.md §5.3): tracked-feature
+        collapse, bias blow-up, position/z jump → clearState + re-init."""
         nw = self.cfg.window_size
+        if m is not None and m.get("long_tracked", 99) < 2:
+            return True
         if np.linalg.norm(self.ba[nw]) > 2.5 or np.linalg.norm(self.bg[nw]) > 1.0:
             return True
         dp = self.p[nw] - self.p[nw - 1]
@@ -661,20 +737,21 @@ def _world_points_jit(st, f):
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.jit, static_argnames=("lay", "cfg", "ee", "etd", "iters", "marg_mode"))
-def _backend_program(st, f, solvable, tri_need, fb4, lneed, ln_active2,
-                     lay, cfg, ee: bool, etd: bool, iters: int, marg_mode: str):
-    """The WHOLE per-frame backend as one XLA program: triangulation →
-    window solve → marginalization → outlier/stats extraction, returning the
-    prior (device-resident) plus ONE packed host bundle.
-
-    A fresh device→host readback costs ~25–50 ms through the TPU tunnel
-    regardless of size (measured 2026-08: H2D ~1 GB/s, execution fast,
-    readback latency flat) — the former split path paid it ~10× per frame
-    (triangulate pulls, 10-array writeback, outlier pulls ≈ 0.9 s/frame).
+def backend_tick(st, f, solvable, tri_need, fb4, lneed, ln_active2,
+                 lay, cfg, ee: bool, etd: bool, iters: int, marg_mode: str,
+                 marg_old_flag=None):
+    """The whole per-frame backend as composable device code: triangulation →
+    window solve → marginalization → outlier/stats extraction. Un-jitted so
+    it also chains inside larger programs (the offline burst scan in
+    models/burst.py).
 
     marg_mode: 'old' (MARGIN_OLD), 'new' (MARGIN_SECOND_NEW with a live
-    prior), or 'none'."""
+    prior), 'none', or 'dynamic' — with 'dynamic', `marg_old_flag` (a traced
+    0/1 scalar) selects old-vs-second-new via lax.cond at RUN time (the burst
+    scan's keyframe decision is data-dependent).
+
+    Returns (st_out, stats, prior, aux) with aux = dict(commit, lcommit,
+    pt_valid, ln_solved, pt_err, ln_err, p_w)."""
     from plslam.models.state import cam_poses
 
     dtype = st.p.dtype
@@ -690,9 +767,14 @@ def _backend_program(st, f, solvable, tri_need, fb4, lneed, ln_active2,
     oklf = okl.astype(dtype)
     lcommit = lneed * oklf
     line0 = jnp.where(lcommit[:, None] > 0, L_tri, st.line)
-    # post-triangulation validity (used_in_solver / usable semantics)
-    pt_valid = solvable * ((st.inv_depth > 0) | (commit > 0)
-                           | ((tri_need * (1.0 - okf) * fb4) > 0)).astype(dtype)
+    # post-triangulation validity (used_in_solver / usable semantics).
+    # f.pt_valid is the HOST used_in_solver mask (st.inv_depth is unusable
+    # here: _device_state substitutes 0.2 for every non-positive depth, so
+    # `st.inv_depth > 0` is vacuously true) — mirror the line path: gate on
+    # previously-solved | newly-committed | INIT_DEPTH-fallback so failed
+    # 2-3-obs triangulations never enter the solve at the 0.2 placeholder.
+    fallback = tri_need * (1.0 - okf) * fb4
+    pt_valid = solvable * jnp.maximum(f.pt_valid, jnp.maximum(commit, fallback))
     ln_solved = ln_active2 * jnp.maximum(f.ln_valid, lcommit)  # prev solved | new
     st = st._replace(inv_depth=inv0, line=line0)
     f = f._replace(pt_valid=pt_valid, ln_valid=ln_solved)
@@ -708,6 +790,12 @@ def _backend_program(st, f, solvable, tri_need, fb4, lneed, ln_active2,
         prior = marg.marginalize_old(st_out, f, lay, cfg, groups=stats.groups)
     elif marg_mode == "new":
         prior = marg.marginalize_second_new(st_out, f, lay, cfg)
+    elif marg_mode == "dynamic":
+        prior = jax.lax.cond(
+            marg_old_flag > 0,
+            lambda: marg.marginalize_old(st_out, f, lay, cfg, groups=stats.groups),
+            lambda: marg.marginalize_second_new(st_out, f, lay, cfg),
+        )
     else:
         prior = None
 
@@ -720,6 +808,28 @@ def _backend_program(st, f, solvable, tri_need, fb4, lneed, ln_active2,
     ln_err = jnp.max(jnp.where(f.ln_mask > 0, err_ln, 0.0), axis=1)
 
     p_w = res._world_points(st_out, f)  # keyframe payload (window_points)
+    aux = dict(commit=commit, lcommit=lcommit, pt_valid=pt_valid,
+               ln_solved=ln_solved, pt_err=pt_err, ln_err=ln_err, p_w=p_w)
+    return st_out, stats, prior, aux
+
+
+@_partial(jax.jit, static_argnames=("lay", "cfg", "ee", "etd", "iters", "marg_mode"))
+def _backend_program(st, f, solvable, tri_need, fb4, lneed, ln_active2,
+                     lay, cfg, ee: bool, etd: bool, iters: int, marg_mode: str):
+    """`backend_tick` as ONE XLA program returning the prior (device
+    -resident) plus ONE packed host bundle.
+
+    A fresh device→host readback costs ~25–50 ms through the TPU tunnel
+    regardless of size (measured 2026-08: H2D ~1 GB/s, execution fast,
+    readback latency flat) — the former split path paid it ~10× per frame
+    (triangulate pulls, 10-array writeback, outlier pulls ≈ 0.9 s/frame)."""
+    st_out, stats, prior, aux = backend_tick(
+        st, f, solvable, tri_need, fb4, lneed, ln_active2,
+        lay, cfg, ee, etd, iters, marg_mode)
+    dtype = st_out.p.dtype
+    commit, lcommit = aux["commit"], aux["lcommit"]
+    pt_valid, ln_solved = aux["pt_valid"], aux["ln_solved"]
+    pt_err, ln_err, p_w = aux["pt_err"], aux["ln_err"], aux["p_w"]
 
     bundle = jnp.concatenate([
         st_out.p.reshape(-1), st_out.q.reshape(-1), st_out.v.reshape(-1),

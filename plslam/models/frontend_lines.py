@@ -411,6 +411,12 @@ class FrontendLines:
         self.pallas = (jax.default_backend() == "tpu") if pallas is None else pallas
         self.prev = None  # (segs, desc, valid, ids)
 
+    def reset(self):
+        """Restart the tracker (timestamp-jump restart handshake): drop the
+        device-resident segment/descriptor/id state so no cross-gap line
+        track survives."""
+        self.prev = None
+
     def _program(self):
         return _ln_program(self.max_lines, self.octaves, self.binary_desc,
                            self.pallas, self.dtype)
@@ -422,7 +428,7 @@ class FrontendLines:
         `img` may be a host array or an already-uploaded device array;
         `oct1`: optional shared half-res device image (the point pyramid's
         level 1)."""
-        prog = self._program()
+        prog, _ = self._program()
         img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
         if self.prev is None:
             desc_shape = ((self.max_lines, _N_LBD_BITS // 32) if self.binary_desc
@@ -466,9 +472,10 @@ def _ln_program(max_lines: int, octaves: int, binary: bool, pallas: bool, dtype)
     the TPU tunnel regardless of size, so the tick is one dispatch and at
     most one pull). The camera is a dynamic pytree argument."""
 
-    @partial(jax.jit, static_argnames=("have_oct1",))
-    def prog(cam, img, oct1, have_oct1: bool, prev_segs, prev_desc, prev_valid,
+    def tick(cam, img, oct1, have_oct1: bool, prev_segs, prev_desc, prev_valid,
              prev_ids, next_id):
+        """Un-jitted tick body — also composed into larger programs (the
+        offline burst scan in models/burst.py)."""
         all_segs, all_scores, all_valid = [], [], []
         cur = img
         for o in range(octaves):
@@ -517,4 +524,5 @@ def _ln_program(max_lines: int, octaves: int, binary: bool, pallas: bool, dtype)
         bundle = jnp.concatenate([sp, ep, valid_f[:, None]], axis=1)  # [L,5]
         return (segs, desc, valid_f, ids, next1), (bundle, ids)
 
-    return prog
+    prog = partial(jax.jit, static_argnames=("have_oct1",))(tick)
+    return prog, tick

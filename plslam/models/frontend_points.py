@@ -460,6 +460,17 @@ class FrontendPoints:
         self.prev_valid = np.zeros(max_cnt, bool)
         self.track_cnt = np.zeros(max_cnt, np.int64)
 
+    def reset(self):
+        """Restart the tracker from scratch (the reference's restart handshake
+        on an input timestamp discontinuity): drop the device-resident
+        pyramid + slot/id state so no cross-gap track survives — the next
+        `process` call re-detects like the very first frame."""
+        self.prev_pyr = None
+        self._state = None
+        self.prev_t = None
+        self.prev_valid = np.zeros(self.max_cnt, bool)
+        self.track_cnt = np.zeros(self.max_cnt, np.int64)
+
     # ------------------------------------------------------------- programs
     def _programs(self):
         return _pt_programs(self.min_dist, self.max_cnt, self.use_pallas,
@@ -474,7 +485,7 @@ class FrontendPoints:
         want_output=False keeps everything on device and returns None (the
         FREQ-control non-published frames — SURVEY.md §2.1).
         `img` may be a host array or an already-uploaded device array."""
-        prog, det_prog = self._programs()
+        prog, det_prog, _ = self._programs()
         img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
         if self.prev_pyr is None:
             mask_arg = (self._mask_img if self._mask_img is not None
@@ -547,8 +558,9 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         ], axis=1)  # [N,8]
         return bundle_f, ids
 
-    @jax.jit
-    def prog(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score, fov_mask):
+    def tick(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score, fov_mask):
+        """Un-jitted tick body — also composed into larger programs (the
+        offline burst scan in models/burst.py chains it frame-to-frame)."""
         uv0, valid0, norm0, ids0, cnt0, next_id = state
         pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
         if use_pallas:
@@ -569,9 +581,11 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         det_good = det_sc > min_score
         if fisheye:
             det_good = det_good & in_fov(det_uv, img_new.shape, fov_mask)
-        # refill: free slot of rank r takes candidate r (candidates are
-        # score-sorted and the quality gate is monotone in score, so good
-        # candidates are a prefix — identical to the compacting host loop)
+        # refill: free slot of rank r takes candidate r. New ids are
+        # assigned by FILL rank (not free rank): the FOV/mask gate can punch
+        # holes in det_good, so free-rank ids would skip values while next1
+        # advances by sum(fill) — the skipped id would later be REASSIGNED
+        # to a different physical feature, collapsing two tracks into one.
         fr = jnp.cumsum(~ok) - 1  # free rank per slot
         ci = jnp.clip(fr, 0, N - 1)
         fill = (~ok) & det_good[ci]
@@ -579,7 +593,9 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         uv1 = jnp.where(fill[:, None], det_uv[ci], track_uv)
         norm1 = jnp.where(fill[:, None], det_norm[ci], norm_t)
         ids1 = jnp.where(ok, ids0,
-                         jnp.where(fill, next_id + fr.astype(jnp.int32), -1))
+                         jnp.where(fill,
+                                   next_id + (jnp.cumsum(fill) - 1).astype(jnp.int32),
+                                   -1))
         cnt1 = jnp.where(ok, cnt0 + 1, jnp.where(fill, 1, 0))
         next1 = next_id + jnp.sum(fill).astype(jnp.int32)
         # per-feature normalized velocity (`undistortedPoints`): only for
@@ -587,6 +603,8 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         vel = jnp.where((ok & (dt > 0))[:, None], (norm_t - norm0) / jnp.maximum(dt, 1e-6), 0.0)
         bundle = pack(uv1, norm1, vel, valid1, ids1, cnt1)
         return tuple(pyr_new), (uv1, valid1, norm1, ids1, cnt1, next1), bundle
+
+    prog = jax.jit(tick)
 
     @jax.jit
     def det_prog(cam, img, min_score, fov_mask):
@@ -605,7 +623,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         bundle = pack(det_uv, det_norm, jnp.zeros_like(det_uv), good, ids, cnt)
         return tuple(pyr), state, bundle
 
-    return prog, det_prog
+    return prog, det_prog, tick
 
 
 class OutputHandle:

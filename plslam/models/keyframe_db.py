@@ -99,10 +99,12 @@ def extract_keyframe_features(img_j, extra_uv=None):
     )
     valid = (score > 1e-5).astype(img_j.dtype)
     if extra_uv is not None and len(extra_uv):
-        # pad extra_uv to a FIXED slot count: a per-call length would give
+        # pad extra_uv to a BUCKETED slot count: a per-call length would give
         # every distinct window-point count its own compiled executable
-        # (seconds each through the TPU tunnel)
-        nmax = MAX_KP // 2
+        # (seconds each through the TPU tunnel), but a single MAX_KP//2
+        # reservation costs small payloads up to MAX_KP//2 - cnt detector
+        # corners — two buckets bound both
+        nmax = MAX_KP // 4 if len(extra_uv) <= MAX_KP // 4 else MAX_KP // 2
         cnt = min(len(extra_uv), nmax)
         buf = np.zeros((nmax, 2), np.float32)
         buf[:cnt] = np.asarray(extra_uv[:cnt], np.float32)

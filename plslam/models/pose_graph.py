@@ -422,6 +422,7 @@ class PoseGraph:
                          win_desc=win_desc, img_shape=img.shape,
                          img=np.asarray(img, np.float32) if self.keep_images else None)
             old = self.db.query(gdesc, exclude_last=self.cfg.min_loop_gap,
+                                min_score=getattr(self.cfg, "loop_min_score", 0.15),
                                 always_include=self.base_n,
                                 consistency=self.cfg.loop_consistency,
                                 consistency_gap=self.cfg.consistency_gap)
@@ -472,9 +473,14 @@ class PoseGraph:
             self.db.n = len(keep)
             self.db.recent = []  # candidate indices shifted; restart the chain
         self.n = len(keep)
+        # preserve loop edges AND loaded-map-internal sequential edges: the
+        # rebuild loop below only regenerates sequential edges for i >= base_n,
+        # so discarding map-internal ones would leave loaded-map nodes (which
+        # are never gauge-pinned) edge-free/unconstrained after eviction
         new_edges = [
             {**e, "i": remap[e["i"]], "j": remap[e["j"]]}
-            for e in self.edges if e["loop"]
+            for e in self.edges
+            if e["loop"] or (e["i"] < self.base_n and e["j"] < self.base_n)
         ]
         for k in range(1, self.n):
             for back in range(1, MAX_EDGES_SEQ + 1):
@@ -574,6 +580,36 @@ class PoseGraph:
             )
         return dict(i=i, j=j, t=rel_t, yaw=rel_yaw, w=2.0, loop=1)
 
+    def update_loop_edge(self, old_idx, cur_idx, p_w_old, q_w_old):
+        """Replace the raw PnP loop-edge measurement (i=old_idx, j=cur_idx)
+        with the BA-REFINED old-keyframe pose from the estimator's joint relo
+        solve (the reference's `updateKeyFrameLoop`: the estimator published
+        the refined relative pose back and the pose graph re-ran 4-DoF on it
+        — SURVEY.md §3.4 'relative pose out'). p_w_old/q_w_old: the refined
+        old-keyframe BODY pose in the current VIO world (est.relo_result).
+        Returns True when the edge was updated (and a PGO re-run is pending)."""
+        R_w_old = qnp.quat_to_rot(np.asarray(q_w_old, np.float64))
+        rel_t = R_w_old.T @ (self.vio_p[cur_idx] - np.asarray(p_w_old, np.float64))
+        yaw_old = float(qnp.rot_to_ypr(R_w_old)[0])
+        rel_yaw = self.vio_yaw[cur_idx] - yaw_old
+        # same sanity gates as findConnection — a diverged joint solve must
+        # not replace a geometrically-vetted PnP edge
+        dy = ((rel_yaw - (self.opt_yaw[cur_idx] - self.opt_yaw[old_idx])) + np.pi) % (2 * np.pi) - np.pi
+        if abs(dy) > np.deg2rad(self.cfg.max_loop_yaw_deg):
+            return False
+        if np.linalg.norm(rel_t) > self.cfg.max_loop_translation:
+            return False
+        for e in self.edges:
+            if e["loop"] and e["i"] == old_idx and e["j"] == cur_idx:
+                # keep the raw PnP measurement for diagnostics/tests
+                e.setdefault("t_pnp", e["t"])
+                e.setdefault("yaw_pnp", e["yaw"])
+                e["t"] = rel_t
+                e["yaw"] = rel_yaw
+                self._pending_opt = True
+                return True
+        return False
+
     def fast_relocalize(self, edge):
         """`fast_relocalization`: on a confirmed loop into the (loaded) map,
         immediately shift the drift from the single loop edge — the map-frame
@@ -597,12 +633,16 @@ class PoseGraph:
         Small graphs use the dense-Hessian path; above `_PCG_THRESHOLD`
         keyframes the dense (4K)² normal equations are replaced by the
         matrix-free PCG path (O(E) memory, block-tridiagonal preconditioner).
-        Edge arrays are padded to the next power of two (`e_valid`-masked) so
-        every PGO trigger reuses a cached executable instead of recompiling
-        for each new edge count."""
+        BOTH edge arrays and the node capacity are padded to the next power
+        of two of the LIVE graph size (masked), so a 128-KF closure solves a
+        128-node system instead of paying the full-capacity (4·2048)²
+        factorization (~20× the necessary work), and every PGO trigger reuses
+        a cached executable. The solve runs in float32 explicitly — the TPU
+        path — so CPU-mesh tests exercise the same numerics."""
         if self.n < 2 or not self.edges:
             return
-        K = self.cfg.max_keyframes
+        K = min(self.cfg.max_keyframes,
+                max(64, 1 << int(self.n - 1).bit_length()))
         E = len(self.edges)
         Ep = 1 << (E - 1).bit_length()  # pad: bounded recompilation
         e_i = np.zeros(Ep, np.int32)
@@ -619,15 +659,19 @@ class PoseGraph:
             e_w[m] = e["w"]
             e_loop[m] = e["loop"]
             e_valid[m] = 1.0
-        node_valid = np.zeros(K)
+        node_valid = np.zeros(K, np.float32)
         node_valid[: self.n] = 1.0
 
+        ftype = np.float32
         solve = optimize_4dof if K < _PCG_THRESHOLD else optimize_4dof_pcg
         xyz, yaw, costs = solve(
-            asdev(self.opt_p), asdev(self.opt_yaw),
-            asdev(self.pitch), asdev(self.roll), jnp.asarray(node_valid),
-            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(e_t), jnp.asarray(e_yaw),
-            jnp.asarray(e_w), jnp.asarray(e_valid), jnp.asarray(e_loop),
+            asdev(self.opt_p[:K], ftype), asdev(self.opt_yaw[:K], ftype),
+            asdev(self.pitch[:K], ftype), asdev(self.roll[:K], ftype),
+            jnp.asarray(node_valid),
+            jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(e_t, ftype), jnp.asarray(e_yaw, ftype),
+            jnp.asarray(e_w, ftype), jnp.asarray(e_valid, ftype),
+            jnp.asarray(e_loop, ftype),
             iters=iters,
         )
         self.opt_p[: self.n] = np.asarray(xyz)[: self.n]

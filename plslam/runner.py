@@ -72,6 +72,7 @@ def run_euroc(
     max_frames: int | None = None,
     progress: bool = False,
     pipeline: bool = True,
+    burst: int = 0,
 ):
     """Full pipeline on an EuRoC ASL sequence: image frontends → estimator →
     pose graph (the whole reference launch graph in one loop — SURVEY.md §1).
@@ -82,6 +83,15 @@ def run_euroc(
     SURVEY.md §2.6, replacing the reference's feature_tracker/estimator
     process overlap. Outputs are bit-identical to the synchronous loop (the
     pipeline only moves WHEN images are decoded, never what is computed).
+
+    `burst=B` (offline replay only): once initialized, process B published
+    frames per device dispatch — the REAL pipeline (frontends →
+    device-resident feature tables → solve → marginalization → slide) as a
+    `lax.scan` with ONE readback per chunk (`models/burst.py`), instead of
+    one round trip per frame. Requires loop_closure off and no live viz
+    (those are host-rate consumers); falls back to streaming otherwise.
+    Outputs are equal to the streaming loop up to float association
+    (documented bounded deviations in models/burst.py).
 
     Returns (ts, ps, qs, estimator, pose_graph)."""
     import jax.numpy as jnp
@@ -164,6 +174,7 @@ def run_euroc(
     ts_out, ps_out, qs_out = [], [], []
     feeder = ImuFeeder(seq.imu_t, seq.imu_acc, seq.imu_gyr)
     deferred_ctx = None
+    relo_edge = {"ij": None}  # loop edge awaiting the refined relative pose
 
     def _emit(ctx):
         """Trajectory + pose-graph output work for a published frame (runs
@@ -171,6 +182,15 @@ def run_euroc(
         finalizes the deferred solve)."""
         m, img_k = ctx
         est.finalize()
+        # relocalization round trip CLOSED (`updateKeyFrameLoop`): the joint
+        # solve's BA-refined old-keyframe pose replaces the raw PnP loop-edge
+        # measurement, then the 4-DoF PGO re-runs on the refined edge
+        if pgraph is not None and est.relo_result is not None and relo_edge["ij"] is not None:
+            oi, cj = relo_edge["ij"]
+            pgraph.update_loop_edge(oi, cj, est.relo_result["p_old"],
+                                    est.relo_result["q_old"])
+            relo_edge["ij"] = None
+            est.relo_result = None
         # emit only frames that were actually solved (the serial loop's
         # `if est.initialized` gate, evaluated at the frame's own time)
         if "cost" not in m or m.get("failure") or not est.initialized:
@@ -198,7 +218,8 @@ def run_euroc(
                 # relocalization feedback (`/pose_graph/match_points` →
                 # `setReloFrame`): next solve refines the loop jointly
                 mm = pgraph.last_match
-                est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"])
+                if est.set_relo_frame(mm["ids"], mm["obs_old"], mm["p_old"], mm["q_old"]):
+                    relo_edge["ij"] = (mm["old_idx"], mm["cur_idx"])
                 if viz is not None and mm.get("old_img") is not None and mm.get("uv_cur") is not None:
                     viz.match_image(img_k, mm["uv_cur"], mm["old_img"], mm["uv_old"],
                                     tag=f"{mm['old_idx']}_{mm['cur_idx']}")
@@ -207,17 +228,54 @@ def run_euroc(
                 # loop edge lands in the LOADED map: snap the drift from
                 # this single edge immediately (`fast_relocalization`)
                 pgraph.fast_relocalize(loop)
+        if pgraph is not None:
             if pgraph._pending_opt:
                 pgraph.optimize()
+            # drift correction applies to EVERY published pose, not only
+            # keyframes (the reference's loop-corrected output path)
             p, q = pgraph.correct(p, q)
         ts_out.append(tt)
         ps_out.append(p)
         qs_out.append(q)
 
-    for k in range(len(seq.cam_t)):
+    prev_cam_t = None
+    n_cam = len(seq.cam_t)
+    k = 0
+    burst_ok = burst > 0 and pgraph is None and viz is None
+    while k < n_cam:
         if n_pub >= max_pub:
             break
+        # ---- offline burst handoff (models/burst.py): once the estimator is
+        # initialized with a live prior, chunks of `burst` published frames
+        # run as ONE device dispatch; streaming resumes for any tail ----
+        if (burst_ok and k % stride == 0 and est.initialized
+                and est.prior is not None):
+            if deferred_ctx is not None:
+                _emit(deferred_ctx)
+                deferred_ctx = None
+            est.finalize()  # drain any in-flight deferred solve
+            if est.initialized and est.prior is not None:
+                # (finalize may have tripped failure detection → re-check)
+                k2, n_pub = _burst_tail(
+                    seq, config, est, fp, fLines, feeder, k, stride, burst,
+                    _load, ts_out, ps_out, qs_out, n_pub, max_pub, progress)
+                if k2 == k:
+                    burst_ok = False  # burst made no progress — stream on
+                k = k2
+                prev_cam_t = float(seq.cam_t[k - 1]) if k > 0 else None
+                if executor is not None and k < n_cam:
+                    pending = executor.submit(_load, k)
+                continue
         t = seq.cam_t[k]
+        # restart handshake: on a camera-stream timestamp discontinuity the
+        # reference's tracker published `restart` and BOTH ends reset — the
+        # estimator resets itself in process_frame; the frontends' device
+        # -resident track state resets here so no cross-gap track survives
+        if prev_cam_t is not None and (t < prev_cam_t - 1e-9 or t - prev_cam_t > 1.0):
+            fp.reset()
+            if fLines is not None:
+                fLines.reset()
+        prev_cam_t = t
         if executor is not None:
             img = pending.result()
             if k + 1 < len(seq.cam_t):
@@ -242,6 +300,7 @@ def run_euroc(
             ids, pts, vel, uv = out_h.get()
             viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])
         if not publish:
+            k += 1
             continue  # tracked on device, not published (FREQ control)
         if fLines is not None:
             # both frontend bundles ride ONE device→host round trip
@@ -269,6 +328,7 @@ def run_euroc(
             _emit(ctx)
         if progress and k % 100 == 0:
             print(f"[{k}] t={t:.2f} init={est.initialized} pts={m.get('n_pts')} lines={m.get('n_lines')}")
+        k += 1
     if deferred_ctx is not None:
         _emit(deferred_ctx)  # drain the last in-flight solve
     if executor is not None:
@@ -282,6 +342,101 @@ def run_euroc(
             pg_file = os.path.join(pg_file, "pose_graph.npz")
         pgraph.save(pg_file)
     return np.asarray(ts_out), np.asarray(ps_out), np.asarray(qs_out), est, pgraph
+
+
+def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
+                load, ts_out, ps_out, qs_out, n_pub, max_pub, progress):
+    """Chunked offline-burst driver (models/burst.py): run the remaining
+    sequence in chunks of B published frames, ONE device dispatch + ONE
+    packed readback per chunk. Returns (next camera frame index for the
+    streaming loop, updated n_pub). Falls back (returns early) on timestamp
+    jumps or failure detection; the streaming loop handles both."""
+    import jax
+    import jax.numpy as jnp
+
+    from plslam.models import burst as burst_mod
+    from plslam.utils.device import pull_all
+
+    cfg = config.solver
+    dtype = est.dtype
+    cam_t = np.asarray(seq.cam_t, np.float64)
+    n_cam = len(cam_t)
+    if n_pub + B > max_pub or k0 + B * stride > n_cam:
+        return k0, n_pub  # not enough frames left for one full chunk
+    with_lines = fLines is not None
+    pt_statics = (fp.min_dist, fp.max_cnt, fp.use_pallas, fp.fisheye,
+                  fp._mask_img is not None)
+    ln_statics = ((fLines.max_lines, fLines.octaves, fLines.binary_desc,
+                   fLines.pallas) if with_lines else (1, 1, False, False))
+    fe_dtype = fp.dtype
+    prog = burst_mod._burst_program(
+        cfg, pt_statics, ln_statics, stride, with_lines,
+        config.extrinsic.estimate_extrinsic > 0,
+        config.temporal.estimate_td, fe_dtype, dtype)
+    mask_arg = fp._mask_img if fp._mask_img is not None else jnp.zeros((1, 1), fe_dtype)
+    consts = (fp.cam, jnp.asarray(fp.f_thresh, fe_dtype),
+              jnp.asarray(fp.min_score, fe_dtype), mask_arg, est.noise, est.g)
+    try:
+        carry = burst_mod.make_carry(est, fp, fLines, dtype)
+    except ValueError:
+        return k0, n_pub
+    packer = burst_mod.ImuChunkPacker(
+        seq.imu_t, seq.imu_acc, seq.imu_gyr,
+        feeder.i, feeder.prev_t, feeder.prev_acc, feeder.prev_gyr)
+    k = k0
+    prev_t = float(cam_t[k0 - 1]) if k0 > 0 else float(cam_t[0]) - 0.05
+    last_pub_t = prev_t
+    td = float(est.td)
+    failed = False
+    while not failed and n_pub + B <= max_pub and k + B * stride <= n_cam:
+        tchunk = cam_t[k: k + B * stride]
+        dts_cam = np.diff(np.concatenate([[prev_t], tchunk]))
+        if np.any(dts_cam <= 0) or np.any(dts_cam > 1.0):
+            break  # timestamp jump → streaming handles the restart handshake
+        frames = [load(k + i) for i in range(B * stride)]
+        Hh, Ww = frames[0].shape
+        imgs = jnp.asarray(np.stack(frames).reshape(B, stride, Hh, Ww), fe_dtype)
+        img_dts = jnp.asarray(dts_cam.reshape(B, stride), fe_dtype)
+        accs, gyrs, dtss, ns = [], [], [], []
+        for j in range(B):
+            a, g_, d, m = packer.interval(float(tchunk[j * stride]), td)
+            accs.append(a)
+            gyrs.append(g_)
+            dtss.append(d)
+            ns.append(m)
+        inp = (imgs, img_dts,
+               jnp.asarray(np.stack(accs), dtype), jnp.asarray(np.stack(gyrs), dtype),
+               jnp.asarray(np.stack(dtss), dtype), jnp.asarray(ns, jnp.int32))
+        carry, outs = prog(consts, carry, inp)
+        p_b, q_b, kf_b, cost_b, fail_b, lt_b, np_b, td_b = pull_all(*outs)
+        for j in range(B):
+            if fail_b[j]:
+                failed = True
+                break
+            tt = float(tchunk[j * stride])
+            ts_out.append(tt)
+            ps_out.append(np.asarray(p_b[j], np.float64))
+            qs_out.append(np.asarray(q_b[j], np.float64))
+            est.metrics.append({
+                "t": tt, "keyframe": bool(kf_b[j]), "cost": float(cost_b[j]),
+                "tracked": int(lt_b[j]), "long_tracked": int(lt_b[j]),
+                "n_pts": int(np_b[j]), "burst": True,
+            })
+            n_pub += 1
+            last_pub_t = tt
+        td = float(td_b[-1])  # estimate_td: next chunk pairs at the live td
+        prev_t = float(tchunk[-1])
+        k += B * stride
+        if progress:
+            print(f"[burst {k}] t={prev_t:.2f} pts={int(np_b[-1])} cost={float(cost_b[-1]):.3g}")
+    burst_mod.sync_back(est, fp, fLines, carry, last_pub_t)
+    feeder.i = packer.i
+    feeder.prev_t, feeder.prev_acc, feeder.prev_gyr = (
+        packer.prev_t, packer.prev_acc, packer.prev_gyr)
+    if failed:
+        # streaming semantics: failureDetection → clearState + re-init
+        est.clear_state()
+    return k, n_pub
 
 
 def run_synthetic_large_window(
@@ -428,11 +583,15 @@ def run_synthetic(
     frame_stride: int = 2,
     progress: bool = False,
     drop_frames: set | None = None,
+    extrinsic_rot_override=None,
 ):
     """Feed a synthetic sequence through the estimator.
 
     frame_stride=2 turns the 20 Hz camera stream into the reference's 10 Hz
     processing rate (`FREQ` frequency control, SURVEY.md §2.1).
+    extrinsic_rot_override: optional 3×3 R_bc the estimator STARTS from
+    instead of the simulator truth (exercises estimate_extrinsic=1/2 — the
+    reference's miscalibrated-rig scenario).
     Returns (ts, ps, qs, estimator)."""
     import dataclasses
 
@@ -442,6 +601,8 @@ def run_synthetic(
     config = config or PLSlamConfig()
     # the estimator must use the simulator's body_T_cam, not the config default
     R_bc = np.array(quat_to_rot(seq.q_bc))
+    if extrinsic_rot_override is not None:
+        R_bc = np.asarray(extrinsic_rot_override, np.float64).reshape(3, 3)
     config = dataclasses.replace(
         config,
         extrinsic=ExtrinsicConfig(

@@ -1,0 +1,68 @@
+"""Offline burst mode (models/burst.py): the scanned device pipeline must
+reproduce the streaming loop on the SAME rendered dataset — same published
+frames, near-identical trajectory (deviations bounded by float association
+in the initial-guess path; see the module docstring's deviation list)."""
+import numpy as np
+import pytest
+
+from plslam.config import (
+    CameraConfig, ExtrinsicConfig, LoopConfig, PLSlamConfig, SolverConfig, TrackerConfig,
+)
+from plslam.eval.metrics import ate_rmse
+from plslam.io import render, synthetic
+from plslam.ops.cameras import PinholeRadTan
+from plslam.runner import run_euroc
+from plslam.utils.geometry import quat_to_rot
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    H, W, f = 480, 752, 460.0
+    params = synthetic.TrajectoryParams(omega=0.3, z_omega=0.6)
+    seq = synthetic.make_sequence(duration=6.0, n_points=500, n_lines=40,
+                                  seed=17, params=params)
+    cam = PinholeRadTan.create(f, f, W / 2, H / 2)
+    path = tmp_path_factory.mktemp("burst_ds")
+    render.write_euroc_dataset(seq, str(path), cam, H, W, max_frames=120,
+                               blob_sigma=3.0, style="textured")
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    cfg = PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=f, fy=f,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
+                            focal_length=f),
+        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(np.array(seq.p_bc))),
+        loop=LoopConfig(loop_closure=False),
+    )
+    return seq, str(path), cfg
+
+
+@pytest.mark.slow
+def test_burst_matches_streaming(dataset):
+    seq, path, cfg = dataset
+    ts_s, ps_s, qs_s, est_s, _ = run_euroc(path, cfg, use_lines=True)
+    assert est_s.initialized
+
+    ts_b, ps_b, qs_b, est_b, _ = run_euroc(path, cfg, use_lines=True, burst=8)
+    assert est_b.initialized
+    n_burst = sum(1 for m in est_b.metrics if m.get("burst"))
+    assert n_burst >= 16, f"burst mode barely engaged ({n_burst} frames)"
+
+    # same published frames
+    np.testing.assert_allclose(ts_b, ts_s, atol=1e-9)
+    # near-identical trajectory: both paths run the same math; differences
+    # enter only through the initial-guess path (preintegration-delta predict
+    # vs host dead-reckoning — identical midpoint integrators up to float
+    # association) and must stay far below the accuracy signal
+    dp = np.linalg.norm(np.asarray(ps_b) - np.asarray(ps_s), axis=1)
+    assert dp.max() < 2e-2, f"burst vs streaming max |Δp| {dp.max():.4f} m"
+
+    ate_s = ate_rmse(ts_s, ps_s, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
+    ate_b = ate_rmse(ts_b, ps_b, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
+    assert abs(ate_b - ate_s) < 5e-3, f"burst ATE {ate_b:.4f} vs streaming {ate_s:.4f}"
+
+    # the handback leaves the estimator usable: window state matches the
+    # last emitted pose
+    t_last, p_last, _ = est_b.latest_pose()
+    np.testing.assert_allclose(p_last, ps_b[-1], atol=1e-9)

@@ -209,3 +209,24 @@ def test_fisheye_mask_image(rng):
     _, _, _, uvc = fe2.process(img1, 0.0)
     r = np.hypot(uvc[:, 0] - 160.0, uvc[:, 1] - 120.0)
     assert (r <= 0.5 * 240 - 2.5).all()
+
+
+def test_frontend_reset_kills_cross_gap_tracks(rng):
+    """Restart handshake: after `reset()` (timestamp-jump restart) no track
+    may survive the gap — every feature re-detects with track_cnt 1 and
+    fresh ids (the reference restarted the whole tracker node)."""
+    from plslam.models.frontend_points import FrontendPoints as FPDriver
+
+    img = smooth_texture(rng)
+    cam = PinholeRadTan.create(200.0, 200.0, 160.0, 120.0)
+    drv = FPDriver(cam, max_cnt=48, min_dist=24, min_score=1e-4)
+    drv.process(np.asarray(img), 0.0, want_output=False)
+    drv.process(np.asarray(img), 0.05)
+    # most features carried over (detector/RANSAC churn may refill a few)
+    assert (drv.track_cnt[drv.prev_valid] >= 2).sum() > 10
+    drv.reset()
+    assert drv.prev_pyr is None and drv._state is None
+    ids2, _, _, uv2 = drv.process(np.asarray(img), 9.0)
+    # re-detected from scratch: every track restarts at count 1
+    assert (drv.track_cnt[drv.prev_valid] == 1).all()
+    assert len(ids2) > 10

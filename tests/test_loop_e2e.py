@@ -112,3 +112,24 @@ def test_appearance_loop_closure_end_to_end(tmp_path):
     assert corr_kf_ate < raw_kf_ate * 1.3, (raw_kf_ate, corr_kf_ate)
     stream_ate = ate_rmse(ts, ps, gt_t, gt_p, align="yaw")
     assert np.isfinite(stream_ate) and stream_ate < 1.0, stream_ate
+
+    # ---- relocalization round trip CLOSED (`updateKeyFrameLoop`): the PGO
+    # consumed the estimator's BA-refined relative pose — and the refined
+    # edge must beat the raw PnP edge against ground truth (SURVEY.md §3.4,
+    # VERDICT r3 item 2) ----
+    refined = [e for e in pg.edges if e.get("loop") and "t_pnp" in e]
+    assert refined, "no loop edge was updated with the joint-solve result"
+    gt_q = np.asarray(seq.gt_q)
+
+    def _gt_rel_t(e):
+        """GT loop-edge translation old→cur in the old body's ypr frame."""
+        from plslam.utils import quat_np as qnp
+        ki = np.argmin(np.abs(gt_t - pg.t_kf[e["i"]]))
+        kj = np.argmin(np.abs(gt_t - pg.t_kf[e["j"]]))
+        ypr = qnp.rot_to_ypr(qnp.quat_to_rot(gt_q[ki]))
+        Ri = qnp.ypr_to_rot(ypr)
+        return Ri.T @ (gt_p[kj] - gt_p[ki])
+
+    err_pnp = [np.linalg.norm(np.asarray(e["t_pnp"]) - _gt_rel_t(e)) for e in refined]
+    err_ref = [np.linalg.norm(np.asarray(e["t"]) - _gt_rel_t(e)) for e in refined]
+    assert np.mean(err_ref) < np.mean(err_pnp), (err_pnp, err_ref)

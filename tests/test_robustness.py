@@ -77,3 +77,24 @@ def test_imu_pad_overflow_forces_keyframe(monkeypatch):
             continue
         gap = est.timestamps[k] - est.timestamps[k - 1]
         assert abs(float(pre["dt_sum"]) - gap) < 1e-6, (k, float(pre["dt_sum"]), gap)
+
+
+def test_feature_collapse_triggers_reinit(seq):
+    """failureDetection's tracked-feature-collapse trigger (SURVEY.md §5.3):
+    a texture-less stretch (frames with zero features) must trip
+    re-initialization instead of drifting unbounded — and the system must
+    recover afterward."""
+    valid = np.asarray(seq.obs_valid).copy()
+    lvalid = np.asarray(seq.line_obs_valid).copy()
+    valid[70:78] = False  # blank stretch (frame_stride=2 → published 35..38)
+    lvalid[70:78] = False
+    seq_blank = seq._replace(obs_valid=valid, line_obs_valid=lvalid)
+    ts, ps, qs, est = run_synthetic(seq_blank, CONFIG, oracle_init=True,
+                                    use_lines=False)
+    failures = [m for m in est.metrics if m.get("failure")]
+    assert failures, "feature collapse never tripped failure detection"
+    assert any(m.get("long_tracked", 99) < 2 for m in failures)
+    # recovery: the estimator re-initialized and solved frames after the gap
+    t_fail = failures[0]["t"]
+    post = [m for m in est.metrics if m["t"] > t_fail + 1.5 and "cost" in m]
+    assert est.initialized and len(post) > 5, "no recovery after collapse"
