@@ -66,8 +66,13 @@ def _landmark_stamps(n: int, r: int, sigma: float, style: str = "gaussian") -> n
 
 
 def render_frame(seq: SyntheticSequence, k: int, cam, h: int, w: int,
-                 blob_sigma=2.0, style: str = "gaussian", rng=None) -> np.ndarray:
-    """Render frame k: background gradient + landmark blobs + line segments."""
+                 blob_sigma=2.0, style: str = "gaussian", rng=None,
+                 stamp_of=None) -> np.ndarray:
+    """Render frame k: background gradient + landmark blobs + line segments.
+
+    stamp_of: optional [n_landmarks] index map landmark → stamp. Mapping two
+    landmark sets onto the SAME stamps renders perceptually-aliased places
+    (two visually identical rooms) — the loop-closure robustness scenario."""
     import jax.numpy as jnp
     from plslam.ops.cameras import normalized_to_pixel
 
@@ -83,6 +88,8 @@ def render_frame(seq: SyntheticSequence, k: int, cam, h: int, w: int,
     # textured stamps must cover the BRIEF pattern radius (±15 px)
     r = int(3 * blob_sigma) if style == "gaussian" else max(int(3 * blob_sigma), 16)
     stamps = _landmark_stamps(obs.shape[0], r, blob_sigma, style)
+    if stamp_of is not None:
+        stamps = stamps[np.asarray(stamp_of)]
     for li in np.nonzero(vis)[0]:
         cx, cy = uv[li]
         if not (r < cx < w - r and r < cy < h - r):
@@ -146,8 +153,9 @@ def write_png_gray(path: str, img01: np.ndarray):
 
 def write_euroc_dataset(seq: SyntheticSequence, out_dir: str, cam, h: int, w: int,
                         max_frames: int | None = None, blob_sigma: float = 2.0,
-                        style: str = "gaussian"):
-    """Write the simulator sequence as a miniature EuRoC ASL dataset."""
+                        style: str = "gaussian", stamp_of=None):
+    """Write the simulator sequence as a miniature EuRoC ASL dataset.
+    stamp_of: see render_frame (perceptual-aliasing scenario)."""
     mav = os.path.join(out_dir, "mav0")
     os.makedirs(os.path.join(mav, "cam0", "data"), exist_ok=True)
     os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
@@ -168,7 +176,8 @@ def write_euroc_dataset(seq: SyntheticSequence, out_dir: str, cam, h: int, w: in
         for k in range(n):
             ns = int(frame_t[k] * 1e9)
             name = f"{ns}.png"
-            img = render_frame(seq, k, cam, h, w, blob_sigma=blob_sigma, style=style)
+            img = render_frame(seq, k, cam, h, w, blob_sigma=blob_sigma,
+                               style=style, stamp_of=stamp_of)
             write_png_gray(os.path.join(mav, "cam0", "data", name), img)
             f.write(f"{ns},{name}\n")
 

@@ -107,7 +107,7 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
 
     def step(consts, carry: BurstCarry, inp):
         cam, f_thresh, min_score, fov_mask, noise, g = consts
-        imgs, img_dts, acc, gyr, dts, n_imu = inp
+        imgs, img_dts, npre, acc, gyr, dts, n_imu = inp
 
         # --------------- frontends: track every camera frame -----------------
         # the stream publishes the FIRST frame of each stride group
@@ -150,20 +150,33 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         # process_frame does the same)
         kf = kf | (carry.raw_n + n_imu > IMU_PAD)
 
-        # --------------- close the interval: preintegrate + predict ----------
+        # --------------- close the interval + predict the newest slot --------
+        # npre was preintegrated OUTSIDE the scan (vmapped over the chunk) at
+        # the chunk-start bias: a 512-step sequential scan per frame INSIDE
+        # the scan dominated the wall clock (measured: burst slower than
+        # streaming). The factor corrects to the live bias to first order via
+        # its stored jacobian — the same mechanism that makes the streaming
+        # path's one-solve-stale linearization bias exact — and the predictor
+        # applies the identical correction by hand here.
         st = carry.st
-        pre_new = imu_ops.preintegrate(acc, gyr, dts, st.ba[W - 1], st.bg[W - 1], noise)
-        dt = pre_new.dt_sum
+        dt = npre["dt_sum"]
+        dba = st.ba[W] - npre["ba"]
+        dbg = st.bg[W] - npre["bg"]
+        J = npre["jac"]
+        alpha_c = npre["alpha"] + J[0:3, 9:12] @ dba + J[0:3, 12:15] @ dbg
+        beta_c = npre["beta"] + J[6:9, 9:12] @ dba + J[6:9, 12:15] @ dbg
+        dth = J[3:6, 12:15] @ dbg
+        gamma_c = quat_mul(npre["gamma"],
+                           jnp.concatenate([jnp.ones((1,), dtype), 0.5 * dth]))
         Rq = lambda q, v: quat_rotate(q, v)
-        p_pred = st.p[W] + st.v[W] * dt - 0.5 * g * dt * dt + Rq(st.q[W], pre_new.alpha)
-        v_pred = st.v[W] - g * dt + Rq(st.q[W], pre_new.beta)
-        q_pred = quat_mul(st.q[W], pre_new.gamma)
+        p_pred = st.p[W] + st.v[W] * dt - 0.5 * g * dt * dt + Rq(st.q[W], alpha_c)
+        v_pred = st.v[W] - g * dt + Rq(st.q[W], beta_c)
+        q_pred = quat_mul(st.q[W], gamma_c)
         q_pred = q_pred / jnp.maximum(jnp.linalg.norm(q_pred), 1e-12)
         st = st._replace(p=st.p.at[W].set(p_pred), q=st.q.at[W].set(q_pred),
                          v=st.v.at[W].set(v_pred))
 
         imu_f = dict(carry.imu)
-        npre = _pre_fields(pre_new)
         for k in npre:
             imu_f[k] = imu_f[k].at[W - 1].set(npre[k])
         imu_f["valid"] = imu_f["valid"].at[W - 1].set(1.0)
@@ -248,9 +261,14 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         i0 = jnp.arange(IMU_PAD)
         dts_m = jnp.where(i0 < n1, carry.raw_dts, dts[jnp.clip(i0 - n1, 0, IMU_PAD - 1)])
         n_m = jnp.minimum(n1 + n_imu, IMU_PAD)
-        pre_m = imu_ops.preintegrate(acc_m, gyr_m, dts_m,
-                                     st_new.ba[W - 2], st_new.bg[W - 2], noise)
-        mf = _pre_fields(pre_m)
+        # the 512-step merged re-preintegration only runs on SECOND_NEW steps
+        # (lax.cond — a real conditional on TPU; keyframe steps skip it)
+        mf = jax.lax.cond(
+            kf,
+            lambda: npre,  # unused in the keyframe-selected carry
+            lambda: _pre_fields(imu_ops.preintegrate(
+                acc_m, gyr_m, dts_m, st_new.ba[W - 2], st_new.bg[W - 2], noise)),
+        )
         imu_new = dict(imu_f)
         for k in mf:
             imu_new[k] = imu_new[k].at[W - 2].set(mf[k])
@@ -289,7 +307,18 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
 
     @jax.jit
     def chunk(consts, carry, inputs):
-        return jax.lax.scan(lambda c, i: step(consts, c, i), carry, inputs)
+        imgs, img_dts, acc, gyr, dts, n_imu = inputs
+        noise = consts[4]
+        # one VMAPPED preintegration pass for the whole chunk (B-wide batched
+        # 512-step scan ≈ the cost of ONE interval) at the chunk-start bias;
+        # factors + predictor bias-correct to the live estimate (see step)
+        ba0 = carry.st.ba[W - 1]
+        bg0 = carry.st.bg[W - 1]
+        pres = jax.vmap(
+            lambda a, gy, d: _pre_fields(imu_ops.preintegrate(a, gy, d, ba0, bg0, noise))
+        )(acc, gyr, dts)
+        return jax.lax.scan(lambda c, i: step(consts, c, i), carry,
+                            (imgs, img_dts, pres, acc, gyr, dts, n_imu))
 
     return chunk
 

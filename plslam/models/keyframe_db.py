@@ -209,6 +209,7 @@ class KeyframeDB:
         self.entries = []  # per-kf dicts: uv, valid, desc, pts3d, pose
         self.recent = []  # per-query best-candidate index (or None) — the
         # temporal-consistency history of `detectLoop` (SURVEY.md:144)
+        self.last_candidates = []  # strong candidates of the last ACCEPTED query
 
     def add(self, entry, gdesc):
         if self.n >= self.capacity:
@@ -229,13 +230,26 @@ class KeyframeDB:
         is rejected; a genuine revisit persists across keyframes.
         `always_include`: entries [0, always_include) are a loaded previous
         map — never "recent", so always searchable, and exempt from temporal
-        consistency (fast_relocalization snaps on the first confirmed match)."""
+        consistency (fast_relocalization snaps on the first confirmed match).
+
+        On acceptance, `self.last_candidates` holds the strong candidates
+        OLDEST-FIRST (the reference's detectLoop took the MINIMUM index among
+        qualifying candidates): under perceptual aliasing — two visually
+        identical places — the best COSINE candidate can be the wrong room
+        while an older one is the true revisit, and the oldest hypothesis is
+        also the one that closes the most drift; geometric verification
+        (BRIEF+PnP in findConnection), not place recognition, is the
+        disambiguator, so the caller tries each in order until one
+        confirms."""
+        self.last_candidates = []
         hi = max(self.n - exclude_last, min(always_include, self.n))
         if hi <= 0:
             self.recent.append(None)
             return None
         sims = self.gdescs[:hi] @ gdesc
-        order = np.argsort(-sims)[:top_k]
+        # rank depth 2×top_k: clones of the true place can crowd out the
+        # oldest qualifying candidate from a shallow top-k (aliased scenes)
+        order = np.argsort(-sims)[: 2 * top_k]
         cand = None
         if sims[order[0]] >= min_score and not (
                 len(order) > 1 and sims[order[1]] < min_score * 0.45):
@@ -247,4 +261,8 @@ class KeyframeDB:
                     p is not None and abs(p - cand) <= consistency_gap for p in hist):
                 accepted = None
         self.recent.append(cand)
+        if accepted is not None:
+            # oldest-first (reference min_index semantics)
+            self.last_candidates = sorted(
+                int(i) for i in order if sims[i] >= min_score)
         return accepted

@@ -340,6 +340,7 @@ class PoseGraph:
         self.t_drift = np.zeros(3)
         self.yaw_drift = 0.0
         self.loop_count = 0
+        self.evict_fallbacks = 0  # capacity evictions refused (misaligned DB)
         self._pending_opt = False
         self.last_match = None  # match_points payload for the estimator
         self.stats = []  # per-candidate diagnostics (findConnection outcome)
@@ -428,7 +429,15 @@ class PoseGraph:
                                 consistency_gap=self.cfg.consistency_gap)
             self.db.add(entry, gdesc)
             if old is not None:
-                loop = self._find_connection(old, k, entry)
+                # geometric disambiguation over the strong candidates (best
+                # cosine first): under perceptual aliasing the top candidate
+                # can be the WRONG room — BRIEF+PnP verification picks the
+                # true one (db.query docstring; per-candidate outcomes land
+                # in self.stats)
+                for cand in (getattr(self.db, "last_candidates", None) or [old]):
+                    loop = self._find_connection(cand, k, entry)
+                    if loop is not None:
+                        break
                 if loop is not None:
                     self.edges.append(loop)
                     self.loop_count += 1
@@ -458,8 +467,18 @@ class PoseGraph:
             return False
         # a db misaligned with the keyframe list (some keyframes added without
         # imagery while others had it) cannot be remapped safely — keep the
-        # old drop-new behavior there
+        # old drop-new behavior there, but LOUDLY: silent loss of loop
+        # closure at capacity is a debugging trap (VERDICT r3 weak #5/#6)
         if self.db.n not in (0, n):
+            import warnings
+
+            self.evict_fallbacks += 1
+            warnings.warn(
+                f"pose graph at capacity with a misaligned keyframe DB "
+                f"(db.n={self.db.n} != n={n}): cannot evict safely — new "
+                f"keyframes are DROPPED and loop closure degrades. Add "
+                f"keyframes uniformly with or without imagery.",
+                RuntimeWarning, stacklevel=3)
             return False
         keep = [k for k in range(n) if k not in evict]
         remap = {old: new for new, old in enumerate(keep)}

@@ -383,17 +383,28 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     packer = burst_mod.ImuChunkPacker(
         seq.imu_t, seq.imu_acc, seq.imu_gyr,
         feeder.i, feeder.prev_t, feeder.prev_acc, feeder.prev_gyr)
+    from concurrent.futures import ThreadPoolExecutor
+
     k = k0
     prev_t = float(cam_t[k0 - 1]) if k0 > 0 else float(cam_t[0]) - 0.05
     last_pub_t = prev_t
     td = float(est.td)
     failed = False
+    # one-chunk decode prefetch: the next chunk's PNG decode + CLAHE run on a
+    # worker thread while the device executes the current chunk's scan
+    pool = ThreadPoolExecutor(max_workers=1)
+    decode = lambda kk: [load(kk + i) for i in range(B * stride)]
+    prefetch = pool.submit(decode, k0)
     while not failed and n_pub + B <= max_pub and k + B * stride <= n_cam:
         tchunk = cam_t[k: k + B * stride]
         dts_cam = np.diff(np.concatenate([[prev_t], tchunk]))
         if np.any(dts_cam <= 0) or np.any(dts_cam > 1.0):
             break  # timestamp jump → streaming handles the restart handshake
-        frames = [load(k + i) for i in range(B * stride)]
+        frames = prefetch.result() if prefetch is not None else decode(k)
+        if k + 2 * B * stride <= n_cam:
+            prefetch = pool.submit(decode, k + B * stride)
+        else:
+            prefetch = None
         Hh, Ww = frames[0].shape
         imgs = jnp.asarray(np.stack(frames).reshape(B, stride, Hh, Ww), fe_dtype)
         img_dts = jnp.asarray(dts_cam.reshape(B, stride), fe_dtype)
@@ -429,6 +440,7 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
         k += B * stride
         if progress:
             print(f"[burst {k}] t={prev_t:.2f} pts={int(np_b[-1])} cost={float(cost_b[-1]):.3g}")
+    pool.shutdown(wait=False, cancel_futures=True)
     burst_mod.sync_back(est, fp, fLines, carry, last_pub_t)
     feeder.i = packer.i
     feeder.prev_t, feeder.prev_acc, feeder.prev_gyr = (

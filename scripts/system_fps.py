@@ -162,6 +162,34 @@ def measure():
     }
     print(json.dumps(result))
 
+    # ---- offline burst mode (models/burst.py): the REAL data flow scanned
+    # on device, ONE readback per 16 published frames — first pass compiles
+    # the chunk program, second pass measures (VERDICT r3 item 1) ----
+    from plslam.eval.metrics import ate_rmse as _ate
+
+    t0 = time.perf_counter()
+    runner.run_euroc(CACHE, cfg, use_lines=True, burst=16)
+    burst_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ts_b, ps_b, _, est_b, _ = runner.run_euroc(CACHE, cfg, use_lines=True, burst=16)
+    burst_wall = time.perf_counter() - t0
+    n_burst = sum(1 for m in est_b.metrics if m.get("burst"))
+    ate_b = _ate(ts_b, ps_b, meta["gt_t"], meta["gt_p"], align="yaw")
+    # steady = the burst phase alone: published frames that ran in chunks,
+    # excluding the streaming init prefix paid once per session
+    bt = [m["t"] for m in est_b.metrics if m.get("burst")]
+    print(f"\nburst pass: {burst_wall:.2f} s wall ({burst_compile_s:.1f} s first"
+          f"-pass incl. compile), {n_burst} of {len(est_b.metrics)} published "
+          f"frames in 16-frame chunks, ATE(yaw) {ate_b:.3f} m", file=sys.stderr)
+    result_b = {
+        "metric": "run_euroc_burst_camera_fps",
+        "value": round(n_cam / burst_wall, 2),
+        "published_fps": round(len(est_b.metrics) / burst_wall, 2),
+        "burst_frames": n_burst,
+        "ate_m": round(float(ate_b), 4), "wall_s": round(burst_wall, 2),
+    }
+    print(json.dumps(result_b))
+
 
 def main():
     if "--render" in sys.argv:

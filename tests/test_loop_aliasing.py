@@ -1,0 +1,87 @@
+"""Perceptual aliasing on pixels: two visually IDENTICAL rooms (cloned
+landmark textures) must produce ZERO false loop edges — the reference's
+defense stack (detectLoop temporal consistency → BRIEF matching → PnP-RANSAC
+≥25-inlier geometric verification, SURVEY.md §2.4/§3.4) carries the system
+through appearance that place recognition alone cannot disambiguate — while
+the TRUE revisit still fires. This scene is the calibration target for the
+`loop_min_score`/relative-threshold knobs (VERDICT r3 item 7)."""
+import numpy as np
+import pytest
+
+from plslam.config import (
+    CameraConfig, ExtrinsicConfig, LoopConfig, PLSlamConfig, SolverConfig, TrackerConfig,
+)
+from plslam.io import render, synthetic
+from plslam.ops.cameras import PinholeRadTan
+from plslam.runner import run_euroc
+
+
+def _aliasing_map(seq, frac=0.8, seed=5):
+    """Landmark → stamp map cloning room A's (θ ∈ [0,π)) textures onto
+    `frac` of room B's (θ ∈ [π,2π)) landmarks, paired by angular order —
+    two rooms sharing most of their decor. (A 100 % clone makes the rooms
+    INFORMATION-THEORETICALLY indistinguishable to any orderless appearance
+    descriptor — ~30 identical views crowd the true revisit out of every
+    ranking depth; real 'similar rooms' share most but not all appearance.)"""
+    lm = np.asarray(seq.landmarks)
+    theta = np.arctan2(lm[:, 1], lm[:, 0]) % (2 * np.pi)
+    A = np.nonzero(theta < np.pi)[0]
+    B = np.nonzero(theta >= np.pi)[0]
+    A_sorted = A[np.argsort(theta[A])]
+    B_sorted = B[np.argsort(theta[B] - np.pi)]
+    stamp_of = np.arange(len(lm))
+    keep = np.random.default_rng(seed).random(len(B_sorted)) < frac
+    tgt = A_sorted[np.arange(len(B_sorted)) % len(A_sorted)]
+    stamp_of[B_sorted[keep]] = tgt[keep]
+    return stamp_of
+
+
+@pytest.mark.slow
+def test_aliased_rooms_zero_false_loops(tmp_path):
+    H, W, f = 480, 752, 460.0
+    params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8)
+    seq = synthetic.make_sequence(duration=14.0, n_points=500, n_lines=40, seed=23,
+                                  params=params, acc_noise=0.1, gyr_noise=0.005,
+                                  acc_bias=0.05, gyr_bias=0.002)
+    render.write_euroc_dataset(seq, str(tmp_path),
+                               PinholeRadTan.create(f, f, W / 2, H / 2), H, W,
+                               max_frames=280, blob_sigma=3.0, style="textured",
+                               stamp_of=_aliasing_map(seq))
+
+    from plslam.utils.geometry import quat_to_rot
+
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    cfg = PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=f, fy=f,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
+                            focal_length=f),
+        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(np.array(seq.p_bc))),
+        loop=LoopConfig(loop_closure=True, min_loop_gap=40, max_keyframes=512),
+    )
+    ts, ps, qs, est, pg = run_euroc(str(tmp_path), cfg, use_lines=False)
+    assert est.initialized
+    assert pg is not None and pg.db.n > 80
+
+    gt_t = np.asarray(seq.frame_t)
+    gt_p = np.asarray(seq.gt_p)
+
+    def gt_dist(e):
+        ki = np.argmin(np.abs(gt_t - pg.t_kf[e["i"]]))
+        kj = np.argmin(np.abs(gt_t - pg.t_kf[e["j"]]))
+        return np.linalg.norm(gt_p[ki] - gt_p[kj])
+
+    loops = [e for e in pg.edges if e.get("loop")]
+    dists = [gt_dist(e) for e in loops]
+    # ZERO false edges: every accepted loop closes a genuine revisit (< 1.5 m
+    # ground-truth separation on the r=4 m circle — an aliased room-A↔room-B
+    # edge would span ~2r = 8 m)
+    assert all(d < 1.5 for d in dists), f"FALSE loop edge(s): {dists}"
+    # and the true revisit STILL fires despite the aliased scene
+    assert pg.loop_count >= 1, [r["outcome"] for r in pg.stats][-20:]
+    # the aliasing DID reach geometric verification (the scene is a real
+    # trap, not trivially filtered upstream): some cross-room candidate got
+    # past place recognition and died at matching/PnP/gating
+    rejected = [r for r in pg.stats if r["outcome"] != "accepted"]
+    assert rejected, "scene produced no cross-room candidates — not aliased?"

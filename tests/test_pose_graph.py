@@ -426,3 +426,61 @@ def test_pgo_bucketed_capacity_matches_full():
     xyz_f, yaw_f, _ = pg.optimize_4dof(*args, iters=12)
     np.testing.assert_allclose(g.opt_p[:n], np.asarray(xyz_f)[:n], atol=2e-3)
     np.testing.assert_allclose(g.opt_yaw[:n], np.asarray(yaw_f)[:n], atol=2e-3)
+
+
+def test_capacity_misaligned_db_warns_and_drops():
+    """A DB misaligned with the keyframe list (imagery for only some
+    keyframes) cannot be evicted safely: at capacity the graph must fall
+    back to drop-new LOUDLY (warning + counter), never corrupt indices
+    (VERDICT r3 weak #5/#6)."""
+    import warnings as _w
+
+    cap = 32
+    gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(cap + 4)
+    g = pg.PoseGraph(LoopConfig(max_keyframes=cap))
+    for k in range(cap):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+    # simulate partial imagery: DB holds entries for only a prefix
+    g.db.n = 10
+    g.db.entries = [{} for _ in range(10)]
+    n_before = g.n
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[cap], 0.0, 0.0]))))
+        out = g.add_keyframe(float(cap), vio_p[cap], q)
+    assert out is None and g.n == n_before
+    assert g.evict_fallbacks == 1
+    assert any("misaligned" in str(w.message) for w in rec)
+
+
+def test_eviction_preserves_loaded_map_edges():
+    """Capacity eviction must keep loaded-map-INTERNAL sequential edges: the
+    rebuild loop only regenerates edges for the live session (i >= base_n),
+    and map nodes are not gauge-pinned — dropping their edges would leave
+    them unconstrained (ADVICE r3 #3)."""
+    n_total, cap, base = 90, 64, 20
+    gt_p, gt_yaw, vio_p, vio_yaw = make_drifting_loop(n_total)
+    g = pg.PoseGraph(LoopConfig(max_keyframes=cap))
+
+    def add(k):
+        q = np.asarray(rot_to_quat(ypr_to_rot(jnp.asarray([vio_yaw[k], 0.0, 0.0]))))
+        g.add_keyframe(float(k), vio_p[k], q)
+
+    for k in range(base):
+        add(k)
+    map_edges = [dict(e) for e in g.edges]  # all internal to [0, base)
+    g.base_n = base  # everything so far is "the loaded map"
+    for k in range(base, n_total):
+        add(k)  # fills past capacity → evictions
+    assert g.n <= cap
+    kept_map = [e for e in g.edges
+                if not e["loop"] and e["i"] < base and e["j"] < base]
+    assert len(kept_map) == len(map_edges), (len(kept_map), len(map_edges))
+    # map nodes themselves were never evicted
+    np.testing.assert_allclose(g.vio_p[:base], vio_p[:base])
+    # and the graph still optimizes (no unconstrained blocks blowing up)
+    g.edges.append(dict(i=2, j=g.n - 1,
+                        t=np.zeros(3), yaw=0.0, w=2.0, loop=1))
+    g.optimize(iters=5)
+    assert np.isfinite(g.opt_p[: g.n]).all()
