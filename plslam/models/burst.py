@@ -27,8 +27,17 @@ deviations, all documented where they occur:
     same midpoint integrator, equal up to float association;
   * with `estimate_td`, the IMU pairing uses the chunk-start td (streaming
     re-pairs per frame); exact when estimate_td is off;
-  * loop closure / relocalization are host-rate work and stay in the
-    streaming path (burst mode is the no-loop replay configuration).
+  * loop closure runs at CHUNK granularity: each step emits the keyframe
+    payload (window points as pixel uv + world 3D + ids — the reference's
+    `/keyframe_pose` + `/keyframe_point` topics) in the chunk readback, and
+    the host runs place recognition + PnP + 4-DoF PGO on every keyframe of
+    the chunk after it lands (`runner._burst_tail`). This matches the
+    reference's ASYNCHRONOUS pose-graph thread, which also processed
+    keyframes several frames behind the estimator; drift corrections apply
+    from the next chunk on. When a loop wants the relocalization round trip
+    (joint relo solve → refined edge), the burst hands back to streaming for
+    it and re-enters afterwards — relo factors are a window-solve feature,
+    not a scan feature.
 
 Reference lineage: one `process()` iteration of `estimator_node.cpp`
 (SURVEY.md §3.3) is the scanned unit.
@@ -46,6 +55,7 @@ from plslam.models import device_table as dtab
 from plslam.models import marginalization as marg
 from plslam.models import residuals as res
 from plslam.models.estimator import IMU_PAD, backend_tick
+from plslam.ops import cameras
 from plslam.models.state import WindowState, cam_poses, layout, zero_state
 from plslam.ops import imu as imu_ops
 from plslam.utils.geometry import quat_mul, quat_rotate
@@ -301,8 +311,16 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         )
         out_carry = jax.tree.map(
             lambda a, b: _tree_where(carry.fail, a, b), frozen, new_carry)
+        # keyframe payload (window_points → the reference's /keyframe_point):
+        # solved, outlier-surviving points observed in the newest frame, as
+        # pixel uv (for BRIEF) + world 3D + global ids. Rides the chunk
+        # readback — B×MF×6 floats is far below the flat ~25–50 ms readback
+        # size threshold, so loop closure costs no extra round trips.
+        kf_pts = ptv & ~drop & (ptab.mask[:, W] > 0) & (ptab.ids >= 0)
+        uv_px = cameras.normalized_to_pixel(cam, ptab.obs[:, W])
         out = (st_out.p[W], st_out.q[W], kf, stats.cost, fail,
-               long_tracked, jnp.sum(aux["pt_valid"]), st_out.td)
+               long_tracked, jnp.sum(aux["pt_valid"]), st_out.td,
+               ptab.ids, kf_pts, uv_px, aux["p_w"])
         return out_carry, out
 
     @jax.jit

@@ -88,10 +88,14 @@ def run_euroc(
     frames per device dispatch — the REAL pipeline (frontends →
     device-resident feature tables → solve → marginalization → slide) as a
     `lax.scan` with ONE readback per chunk (`models/burst.py`), instead of
-    one round trip per frame. Requires loop_closure off and no live viz
-    (those are host-rate consumers); falls back to streaming otherwise.
-    Outputs are equal to the streaming loop up to float association
-    (documented bounded deviations in models/burst.py).
+    one round trip per frame. Loop closure works in burst mode: keyframe
+    payloads ride the chunk readback and place recognition + PnP + 4-DoF PGO
+    run per chunk on the host — the cadence of the reference's asynchronous
+    pose-graph thread; a loop that wants the relocalization round trip hands
+    back to streaming for the joint solve and burst re-enters after. Live
+    viz still forces streaming (it is a per-frame host consumer). Outputs
+    are equal to the streaming loop up to float association (documented
+    bounded deviations in models/burst.py).
 
     Returns (ts, ps, qs, estimator, pose_graph)."""
     import jax.numpy as jnp
@@ -241,25 +245,37 @@ def run_euroc(
     prev_cam_t = None
     n_cam = len(seq.cam_t)
     k = 0
-    burst_ok = burst > 0 and pgraph is None and viz is None
+    burst_ok = burst > 0 and viz is None
     while k < n_cam:
         if n_pub >= max_pub:
             break
         # ---- offline burst handoff (models/burst.py): once the estimator is
         # initialized with a live prior, chunks of `burst` published frames
-        # run as ONE device dispatch; streaming resumes for any tail ----
+        # run as ONE device dispatch; streaming resumes for any tail. A
+        # pending relocalization round trip (relo request or unconsumed
+        # refined edge) keeps the loop in streaming until it resolves ----
         if (burst_ok and k % stride == 0 and est.initialized
-                and est.prior is not None):
+                and est.prior is not None and est.relo is None
+                and relo_edge["ij"] is None):
             if deferred_ctx is not None:
                 _emit(deferred_ctx)
                 deferred_ctx = None
             est.finalize()  # drain any in-flight deferred solve
-            if est.initialized and est.prior is not None:
+            if (est.initialized and est.prior is not None
+                    and est.relo is None and relo_edge["ij"] is None):
                 # (finalize may have tripped failure detection → re-check)
-                k2, n_pub = _burst_tail(
+                k2, n_pub, relo_match = _burst_tail(
                     seq, config, est, fp, fLines, feeder, k, stride, burst,
-                    _load, ts_out, ps_out, qs_out, n_pub, max_pub, progress)
-                if k2 == k:
+                    _load, ts_out, ps_out, qs_out, n_pub, max_pub, progress,
+                    pgraph=pgraph, cam=cam)
+                if relo_match is not None:
+                    # loop found mid-burst → relocalization handshake: the
+                    # streaming solve refines the edge, then burst re-enters
+                    mm = relo_match
+                    if est.set_relo_frame(mm["ids"], mm["obs_old"],
+                                          mm["p_old"], mm["q_old"]):
+                        relo_edge["ij"] = (mm["old_idx"], mm["cur_idx"])
+                elif k2 == k:
                     burst_ok = False  # burst made no progress — stream on
                 k = k2
                 prev_cam_t = float(seq.cam_t[k - 1]) if k > 0 else None
@@ -331,6 +347,11 @@ def run_euroc(
         k += 1
     if deferred_ctx is not None:
         _emit(deferred_ctx)  # drain the last in-flight solve
+    if pgraph is not None and pgraph._pending_opt:
+        # a loop that landed in the final burst chunk (or final published
+        # frame) still gets its 4-DoF solve — on the raw PnP edge if the
+        # relocalization round trip never got a frame to run on
+        pgraph.optimize()
     if executor is not None:
         executor.shutdown(wait=False, cancel_futures=True)
     if pgraph is not None and config.loop.save_pose_graph:
@@ -345,12 +366,17 @@ def run_euroc(
 
 
 def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
-                load, ts_out, ps_out, qs_out, n_pub, max_pub, progress):
+                load, ts_out, ps_out, qs_out, n_pub, max_pub, progress,
+                pgraph=None, cam=None):
     """Chunked offline-burst driver (models/burst.py): run the remaining
     sequence in chunks of B published frames, ONE device dispatch + ONE
-    packed readback per chunk. Returns (next camera frame index for the
-    streaming loop, updated n_pub). Falls back (returns early) on timestamp
-    jumps or failure detection; the streaming loop handles both."""
+    packed readback per chunk. With a pose graph, every keyframe's payload
+    (pixel uv + world 3D + ids) rides the chunk readback and loop closure
+    runs per chunk on the host — the reference pose-graph thread's
+    asynchronous cadence. Returns (next camera frame index for the streaming
+    loop, updated n_pub, pending relo match or None). Falls back (returns
+    early) on timestamp jumps, failure detection, or a loop that needs the
+    relocalization round trip; the streaming loop handles all three."""
     import jax
     import jax.numpy as jnp
 
@@ -362,7 +388,7 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     cam_t = np.asarray(seq.cam_t, np.float64)
     n_cam = len(cam_t)
     if n_pub + B > max_pub or k0 + B * stride > n_cam:
-        return k0, n_pub  # not enough frames left for one full chunk
+        return k0, n_pub, None  # not enough frames left for one full chunk
     with_lines = fLines is not None
     pt_statics = (fp.min_dist, fp.max_cnt, fp.use_pallas, fp.fisheye,
                   fp._mask_img is not None)
@@ -379,7 +405,7 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     try:
         carry = burst_mod.make_carry(est, fp, fLines, dtype)
     except ValueError:
-        return k0, n_pub
+        return k0, n_pub, None
     packer = burst_mod.ImuChunkPacker(
         seq.imu_t, seq.imu_acc, seq.imu_gyr,
         feeder.i, feeder.prev_t, feeder.prev_acc, feeder.prev_gyr)
@@ -390,6 +416,7 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     last_pub_t = prev_t
     td = float(est.td)
     failed = False
+    relo_match = None
     # one-chunk decode prefetch: the next chunk's PNG decode + CLAHE run on a
     # worker thread while the device executes the current chunk's scan
     pool = ThreadPoolExecutor(max_workers=1)
@@ -419,15 +446,41 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
                jnp.asarray(np.stack(accs), dtype), jnp.asarray(np.stack(gyrs), dtype),
                jnp.asarray(np.stack(dtss), dtype), jnp.asarray(ns, jnp.int32))
         carry, outs = prog(consts, carry, inp)
-        p_b, q_b, kf_b, cost_b, fail_b, lt_b, np_b, td_b = pull_all(*outs)
+        (p_b, q_b, kf_b, cost_b, fail_b, lt_b, np_b, td_b,
+         ids_b, kfm_b, uv_b, pw_b) = pull_all(*outs)
         for j in range(B):
             if fail_b[j]:
                 failed = True
                 break
             tt = float(tchunk[j * stride])
+            p_raw = np.asarray(p_b[j], np.float64)
+            q_raw = np.asarray(q_b[j], np.float64)
+            if pgraph is not None and kf_b[j]:
+                # pose-graph keyframe from the chunk payload (the streaming
+                # loop's _emit keyframe branch, at chunk cadence)
+                sel = np.asarray(kfm_b[j])
+                loop = pgraph.add_keyframe(
+                    tt, p_raw, q_raw, img=frames[j * stride], cam=cam,
+                    win_uv=np.asarray(uv_b[j], np.float64)[sel],
+                    win_pts3d=np.asarray(pw_b[j], np.float64)[sel],
+                    win_ids=np.asarray(ids_b[j])[sel])
+                if loop is not None and relo_match is None:
+                    if (config.loop.fast_relocalization
+                            and loop["i"] < pgraph.base_n):
+                        pgraph.fast_relocalize(loop)
+                    elif pgraph.last_match is not None:
+                        # relocalization round trip → finish this chunk,
+                        # then hand back to streaming for the joint solve
+                        relo_match = dict(pgraph.last_match)
+                if pgraph._pending_opt and relo_match is None:
+                    pgraph.optimize()
+            if pgraph is not None:
+                p_out, q_out = pgraph.correct(p_raw, q_raw)
+            else:
+                p_out, q_out = p_raw, q_raw
             ts_out.append(tt)
-            ps_out.append(np.asarray(p_b[j], np.float64))
-            qs_out.append(np.asarray(q_b[j], np.float64))
+            ps_out.append(p_out)
+            qs_out.append(q_out)
             est.metrics.append({
                 "t": tt, "keyframe": bool(kf_b[j]), "cost": float(cost_b[j]),
                 "tracked": int(lt_b[j]), "long_tracked": int(lt_b[j]),
@@ -438,6 +491,8 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
         td = float(td_b[-1])  # estimate_td: next chunk pairs at the live td
         prev_t = float(tchunk[-1])
         k += B * stride
+        if relo_match is not None:
+            break
         if progress:
             print(f"[burst {k}] t={prev_t:.2f} pts={int(np_b[-1])} cost={float(cost_b[-1]):.3g}")
     pool.shutdown(wait=False, cancel_futures=True)
@@ -448,7 +503,7 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     if failed:
         # streaming semantics: failureDetection → clearState + re-init
         est.clear_state()
-    return k, n_pub
+    return k, n_pub, relo_match
 
 
 def run_synthetic_large_window(

@@ -71,3 +71,85 @@ def test_burst_matches_streaming(dataset):
     # last emitted pose
     t_last, p_last, _ = est_b.latest_pose()
     np.testing.assert_allclose(p_last, ps_b[-1], atol=1e-9)
+
+
+def _loop_gaps(pg, xyz, yaw):
+    """Loop-edge residual translations at poses (xyz, yaw) — the revisit gap
+    each loop edge measures (same helper as test_loop_e2e)."""
+    import jax.numpy as jnp
+
+    from plslam.utils.geometry import ypr_to_rot
+
+    gaps = []
+    for e in pg.edges:
+        if not e.get("loop"):
+            continue
+        i, j = e["i"], e["j"]
+        Ri = np.asarray(ypr_to_rot(jnp.asarray([yaw[i], pg.pitch[i], pg.roll[i]])))
+        gaps.append(np.linalg.norm(Ri.T @ (xyz[j] - xyz[i]) - np.asarray(e["t"])))
+    return np.asarray(gaps)
+
+
+@pytest.mark.slow
+def test_burst_with_loop_closure(tmp_path):
+    """Loop closure WORKS in burst mode: keyframe payloads ride the chunk
+    readback, place recognition + PnP + 4-DoF PGO run per chunk on the host
+    (the reference pose-graph thread's asynchronous cadence), drift
+    correction applies to burst-published poses, and a loop that wants the
+    relocalization round trip hands back to streaming and re-enters."""
+    import jax.numpy as jnp
+
+    from plslam.utils.geometry import quat_to_rot as q2r, rot_to_ypr
+
+    H, W, f = 480, 752, 460.0
+    params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8)
+    seq = synthetic.make_sequence(duration=14.0, n_points=500, n_lines=40, seed=23,
+                                  params=params, acc_noise=0.1, gyr_noise=0.005,
+                                  acc_bias=0.05, gyr_bias=0.002)
+    cam = PinholeRadTan.create(f, f, W / 2, H / 2)
+    render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=280,
+                               blob_sigma=3.0, style="textured")
+    # miscalibrated extrinsic (true one renders) → ~0.5 m systematic drift
+    # for the loop closure to absorb — the test_loop_e2e regime
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    a = np.radians(1.5)
+    Rz = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    cfg = PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=f, fy=f,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
+                            focal_length=f),
+        extrinsic=ExtrinsicConfig(0, tuple((R_bc @ Rz).reshape(-1)),
+                                  tuple(np.array(seq.p_bc) + [0.01, -0.005, 0.008])),
+        loop=LoopConfig(loop_closure=True, min_loop_gap=40, max_keyframes=512),
+    )
+    ts, ps, qs, est, pg = run_euroc(str(tmp_path), cfg, use_lines=False, burst=8)
+    assert est.initialized
+    n_burst = sum(1 for m in est.metrics if m.get("burst"))
+    assert n_burst >= 40, f"burst mode barely engaged with loops on ({n_burst})"
+
+    # keyframes were built from burst chunk payloads and loops CONFIRMED
+    # from appearance (BRIEF+PnP) on those payloads
+    assert pg.n > 60 and pg.db.n > 60
+    accepted = [r for r in pg.stats if r["outcome"] == "accepted"]
+    assert pg.loop_count >= 1, pg.stats[-20:]
+    assert all(r["inliers"] >= cfg.loop.min_pnp_inliers for r in accepted)
+
+    # the PGO ran and its drift correction landed on published poses
+    assert np.linalg.norm(pg.t_drift) > 1e-8 or abs(pg.yaw_drift) > 1e-10
+
+    # map consistency: the revisit gap collapses at the optimized poses
+    n = pg.n
+    raw_yaw = np.array([
+        float(np.asarray(rot_to_ypr(q2r(jnp.asarray(pg.vio_q[k]))))[0])
+        for k in range(n)
+    ])
+    gap_raw = _loop_gaps(pg, pg.vio_p, raw_yaw)
+    gap_corr = _loop_gaps(pg, pg.opt_p, pg.opt_yaw)
+    assert gap_raw.max() > 0.3, gap_raw  # the miscalibration DID create drift
+    assert gap_corr.max() < 0.5 * gap_raw.max(), (gap_raw, gap_corr)
+
+    # trajectory sanity under correction
+    ate = ate_rmse(ts, ps, np.asarray(seq.frame_t), np.asarray(seq.gt_p), align="yaw")
+    assert np.isfinite(ate) and ate < 1.0, ate
