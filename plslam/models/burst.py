@@ -125,12 +125,15 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         pyr, pt_fe, ln_fe = carry.pyr, carry.pt_fe, carry.ln_fe
         pt_bundle = ln_out = None
         for s in range(stride):
+            from plslam.models.frontend_points import dev_image
+
+            img_s = dev_image(imgs[s], fe_dtype)  # uint8 H2D → f32 on device
             key = jax.random.fold_in(base_key, carry.frame_i + s)
             pyr, pt_fe, bundle_s = pt_tick(
-                cam, pyr, imgs[s], pt_fe, f_thresh, key, img_dts[s],
+                cam, pyr, img_s, pt_fe, f_thresh, key, img_dts[s],
                 min_score, fov_mask)
             if with_lines:
-                ln_fe, ln_out_s = ln_tick(cam, imgs[s], pyr[1], True, *ln_fe)
+                ln_fe, ln_out_s = ln_tick(cam, img_s, pyr[1], True, *ln_fe)
             if s == 0:
                 pt_bundle = bundle_s
                 if with_lines:

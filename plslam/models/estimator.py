@@ -34,6 +34,7 @@ from plslam.ops import imu as imu_ops
 from plslam.utils import quat_np as qnp
 from plslam.utils.device import asdev
 from plslam.utils.geometry import rot_to_quat
+from plslam.utils.device import highest_matmul_precision
 
 MARGIN_OLD = 0
 MARGIN_SECOND_NEW = 1
@@ -737,6 +738,7 @@ def _world_points_jit(st, f):
 from functools import partial as _partial  # noqa: E402
 
 
+@highest_matmul_precision
 def backend_tick(st, f, solvable, tri_need, fb4, lneed, ln_active2,
                  lay, cfg, ee: bool, etd: bool, iters: int, marg_mode: str,
                  marg_old_flag=None):

@@ -486,7 +486,9 @@ class FrontendPoints:
         FREQ-control non-published frames — SURVEY.md §2.1).
         `img` may be a host array or an already-uploaded device array."""
         prog, det_prog, _ = self._programs()
-        img_j = img if isinstance(img, jax.Array) else jnp.asarray(img, self.dtype)
+        # host images cross the tunnel as uint8 (4× less H2D — see to_u8);
+        # already-on-device arrays (e.g. a shared pyramid level) pass through
+        img_j = img if isinstance(img, jax.Array) else jnp.asarray(to_u8(img))
         if self.prev_pyr is None:
             mask_arg = (self._mask_img if self._mask_img is not None
                         else jnp.zeros((1, 1), self.dtype))
@@ -525,6 +527,26 @@ class FrontendPoints:
 from functools import lru_cache  # noqa: E402
 
 
+def to_u8(img):
+    """Quantize a float [0,1] grayscale image to uint8 for the H2D upload.
+
+    The device tunnel moves ~35–40 MB/s host→device for image-sized buffers
+    (measured — the CLAUDE.md ~1 GB/s figure holds only for small arrays), so
+    a float32 752×480 frame costs ~35 ms to upload and the burst mode's
+    46 MB image chunk ~1.2 s. EuRoC source PNGs are 8-bit and the reference's
+    cv::CLAHE emits CV_8U, so shipping uint8 and casting on device loses
+    nothing (≤1/510 quantization on the equalized image) and cuts the upload
+    4×. `dev_image` is the device-side inverse."""
+    return np.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+
+
+def dev_image(img, dtype):
+    """Device-side cast for `to_u8` uploads (trace-time no-op for floats)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+    return img.astype(dtype) if img.dtype != dtype else img
+
+
 @lru_cache(maxsize=None)
 def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
                  mask_img: bool, dtype):
@@ -561,6 +583,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
     def tick(cam, pyr_prev, img_new, state, f_thresh, key, dt, min_score, fov_mask):
         """Un-jitted tick body — also composed into larger programs (the
         offline burst scan in models/burst.py chains it frame-to-frame)."""
+        img_new = dev_image(img_new, dtype)
         uv0, valid0, norm0, ids0, cnt0, next_id = state
         pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
         if use_pallas:
@@ -608,6 +631,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
 
     @jax.jit
     def det_prog(cam, img, min_score, fov_mask):
+        img = dev_image(img, dtype)
         pyr = build_pyramid(img, levels=auto_levels(img.shape))
         det_uv, det_sc = shi_tomasi_grid(
             pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros((1,), dtype),

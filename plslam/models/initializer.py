@@ -36,12 +36,14 @@ from plslam.utils.geometry import (
     rot_to_ypr,
     ypr_to_rot,
 )
+from plslam.utils.device import highest_matmul_precision
 
 MIN_CORRESPONDENCES = 20
 MIN_PARALLAX_INIT = 30.0 / 460.0  # 30 px-equivalent in normalized coords
 
 
 # --------------------------------------------------------------------- 8-point
+@highest_matmul_precision
 def essential_ransac(pts1, pts2, iters=200, thresh=3.0 / 460.0, seed=0):
     """Normalized 8-point essential matrix with RANSAC; returns (R, t, inliers)
     with x2 ≈ R x1 + t up to scale (`MotionEstimator::solveRelativeRT`).
@@ -395,6 +397,7 @@ def _refine_gravity(est, p_cl, q_bl, g0, pres_h):
 
 
 # ----------------------------------------------------- extrinsic calibration
+@highest_matmul_precision
 def calibrate_extrinsic_rotation(q_cam_deltas, q_imu_deltas):
     """`InitialEXRotation::CalibrationExRotation` (SURVEY.md §2.3): hand-eye
     quaternion least squares for R_bc from paired camera/IMU rotation deltas.
@@ -455,6 +458,7 @@ def _alignment_residual(est, p_cl, q_bl, g, s, vels, pres_h):
 
 
 # ----------------------------------------------------------------- top level
+@highest_matmul_precision
 def try_initialize(est) -> bool:
     """`initialStructure()` + `visualInitialAlign()`."""
     nw = est.cfg.window_size

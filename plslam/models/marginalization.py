@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from plslam.config import SolverConfig
 from plslam.models import residuals as res
 from plslam.models.state import TangentLayout, WindowState
+from plslam.utils.device import highest_matmul_precision
 
 
 class Prior(NamedTuple):
@@ -96,6 +97,7 @@ def _marg_factor_subset(f: res.WindowFactors) -> res.WindowFactors:
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg"))
+@highest_matmul_precision
 def marginalize_old(
     state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig,
     groups: Optional[tuple] = None,
@@ -197,6 +199,7 @@ def marginalize_old(
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg"))
+@highest_matmul_precision
 def marginalize_second_new(
     state: WindowState, f: res.WindowFactors, lay: TangentLayout, cfg: SolverConfig
 ) -> Prior:

@@ -27,6 +27,7 @@ from plslam.config import LoopConfig
 from plslam.models import keyframe_db as kdb
 from plslam.utils import quat_np as qnp
 from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
+from plslam.utils.device import highest_matmul_precision
 
 MAX_EDGES_SEQ = 5
 # Above this keyframe capacity the dense (4K)² PGO Hessian gives way to the
@@ -100,6 +101,7 @@ def _make_edge_system(xyz_shape_dtype, pitch, roll, e_i, e_j, e_t, e_yaw, e_w, e
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@highest_matmul_precision
 def optimize_4dof(
     xyz0, yaw0, pitch, roll, node_valid,
     e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop,
@@ -170,6 +172,7 @@ def optimize_4dof(
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@highest_matmul_precision
 def optimize_4dof_pcg(
     xyz0, yaw0, pitch, roll, node_valid,
     e_i, e_j, e_t, e_yaw, e_w, e_valid, e_loop,

@@ -30,6 +30,7 @@ from plslam.models import residuals as res
 from plslam.models.state import TangentLayout, WindowState, retract
 from plslam.ops.lines import plucker_transform
 from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
+from plslam.utils.device import highest_matmul_precision
 
 
 class SolveStats(NamedTuple):
@@ -257,6 +258,7 @@ def cost_of(r):
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg", "estimate_extrinsic", "estimate_td", "num_iters", "freeze_frames", "structured", "extra_pinned", "dense"))
+@highest_matmul_precision
 def optimize_window(
     state: WindowState,
     f: res.WindowFactors,

@@ -15,9 +15,11 @@ import jax.numpy as jnp
 
 from plslam.ops.lines import plane_from_cam_segment, plucker_from_planes
 from plslam.utils.geometry import pose_inverse, quat_to_rot
+from plslam.utils.device import highest_matmul_precision
 
 
 @jax.jit
+@highest_matmul_precision
 def triangulate_points(p_wc, q_wc, obs, mask, start):
     """DLT triangulation of every feature slot.
 
@@ -58,6 +60,7 @@ def triangulate_points(p_wc, q_wc, obs, mask, start):
 
 
 @jax.jit
+@highest_matmul_precision
 def triangulate_lines(p_wc, q_wc, obs, mask, start):
     """Two-plane triangulation of every line slot (SURVEY.md §A.4).
 

@@ -42,6 +42,7 @@ from plslam.utils.geometry import (
     rot_to_ypr,
     ypr_to_rot,
 )
+from plslam.utils.device import highest_matmul_precision
 
 
 def partition_frames(n_frames: int, window: int):
@@ -75,6 +76,7 @@ def _apply_gauge(st: WindowState, Rz, t) -> WindowState:
     )
 
 
+@highest_matmul_precision
 def consensus_solve(
     part_states: WindowState,  # stacked over leading axis P
     part_factors: res.WindowFactors,  # stacked over P

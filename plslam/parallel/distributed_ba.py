@@ -37,6 +37,7 @@ from plslam.models.solver import reanchor
 from plslam.models.state import TangentLayout, WindowState
 from plslam.ops.lines import orth_retract
 from plslam.utils.geometry import quat_box_plus
+from plslam.utils.device import highest_matmul_precision
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -214,6 +215,7 @@ def make_lm_iter(axis, lay, cfg, focal, mf_s, ml_s, dtype, pt, ln, cam_residual)
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg", "mesh", "num_iters"))
+@highest_matmul_precision
 def distributed_optimize_window(
     state: WindowState,
     f: res.WindowFactors,

@@ -25,6 +25,7 @@ from plslam.config import SolverConfig
 from plslam.models import residuals as res
 from plslam.models import solver as solver_mod
 from plslam.models.state import TangentLayout, WindowState
+from plslam.utils.device import highest_matmul_precision
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg", "num_iters"))
@@ -36,6 +37,7 @@ def _vmapped_solve(states, factors, lay, cfg, num_iters):
     return jax.vmap(one)(states, factors)
 
 
+@highest_matmul_precision
 def batched_optimize_windows(
     states: WindowState,  # stacked over leading batch axis B
     factors: res.WindowFactors,  # stacked over B

@@ -30,6 +30,7 @@ from plslam.models import residuals as res
 from plslam.models.state import TangentLayout, WindowState
 from plslam.parallel import consensus
 from plslam.parallel import distributed_ba as dba
+from plslam.utils.device import highest_matmul_precision
 
 
 def make_mesh2d(n_part: int, n_lmk: int, devices=None) -> Mesh:
@@ -40,6 +41,7 @@ def make_mesh2d(n_part: int, n_lmk: int, devices=None) -> Mesh:
 
 
 @partial(jax.jit, static_argnames=("lay", "cfg", "mesh", "num_iters"))
+@highest_matmul_precision
 def partitioned_distributed_solve(
     part_states: WindowState,  # stacked over leading P axis
     part_factors: res.WindowFactors,  # stacked over P

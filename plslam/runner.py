@@ -417,23 +417,35 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     td = float(est.td)
     failed = False
     relo_match = None
-    # one-chunk decode prefetch: the next chunk's PNG decode + CLAHE run on a
-    # worker thread while the device executes the current chunk's scan
+    # one-chunk decode prefetch: the next chunk's PNG decode + CLAHE AND its
+    # uint8 H2D upload run on a worker thread while the device executes the
+    # current chunk's scan. Images ship as uint8 (to_u8 — the tunnel moves
+    # ~35-40 MB/s for image-sized buffers, so the f32 chunk cost ~1.2 s) and
+    # the scan casts on device (dev_image).
+    from plslam.models.frontend_points import to_u8
+
     pool = ThreadPoolExecutor(max_workers=1)
-    decode = lambda kk: [load(kk + i) for i in range(B * stride)]
+
+    def decode(kk):
+        fr = [load(kk + i) for i in range(B * stride)]
+        u8 = np.stack([to_u8(f) for f in fr])
+        return fr, jnp.asarray(u8.reshape(B, stride, *fr[0].shape))
+
     prefetch = pool.submit(decode, k0)
+    import time as _time
+
     while not failed and n_pub + B <= max_pub and k + B * stride <= n_cam:
         tchunk = cam_t[k: k + B * stride]
         dts_cam = np.diff(np.concatenate([[prev_t], tchunk]))
         if np.any(dts_cam <= 0) or np.any(dts_cam > 1.0):
             break  # timestamp jump → streaming handles the restart handshake
-        frames = prefetch.result() if prefetch is not None else decode(k)
+        t_c0 = _time.perf_counter()
+        frames, imgs = prefetch.result() if prefetch is not None else decode(k)
+        t_dec = _time.perf_counter()
         if k + 2 * B * stride <= n_cam:
             prefetch = pool.submit(decode, k + B * stride)
         else:
             prefetch = None
-        Hh, Ww = frames[0].shape
-        imgs = jnp.asarray(np.stack(frames).reshape(B, stride, Hh, Ww), fe_dtype)
         img_dts = jnp.asarray(dts_cam.reshape(B, stride), fe_dtype)
         accs, gyrs, dtss, ns = [], [], [], []
         for j in range(B):
@@ -445,9 +457,14 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
         inp = (imgs, img_dts,
                jnp.asarray(np.stack(accs), dtype), jnp.asarray(np.stack(gyrs), dtype),
                jnp.asarray(np.stack(dtss), dtype), jnp.asarray(ns, jnp.int32))
+        t_pack = _time.perf_counter()
         carry, outs = prog(consts, carry, inp)
         (p_b, q_b, kf_b, cost_b, fail_b, lt_b, np_b, td_b,
          ids_b, kfm_b, uv_b, pw_b) = pull_all(*outs)
+        t_pull = _time.perf_counter()
+        if progress:
+            print(f"[burst chunk @{k}] decode-wait={t_dec-t_c0:.3f}s "
+                  f"pack+h2d={t_pack-t_dec:.3f}s scan+pull={t_pull-t_pack:.3f}s")
         for j in range(B):
             if fail_b[j]:
                 failed = True

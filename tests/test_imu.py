@@ -89,3 +89,33 @@ def test_wiggle_preamble_imu_consistent():
         z3 = jnp.zeros(3)
         r = imu_ops.imu_residual(p0, q0, v0, z3, z3, p1, q1, v1, z3, z3, pre, g)
         assert float(jnp.max(jnp.abs(r[:9]))) < 2e-3, (k0, k1, np.asarray(r))
+
+
+def test_associative_scan_matches_sequential():
+    """`preintegrate` (lax.associative_scan formulation — log-depth batched
+    15×15 matmuls, the TPU-native redesign of IntegrationBase::propagate)
+    must reproduce the sequential midpoint recursion to float reassociation,
+    including zero-dt padded steps (exact identity elements)."""
+    rng = np.random.default_rng(0)
+    for n, pad in ((20, 0), (20, 492), (200, 0), (1, 0)):
+        N = n + pad
+        acc = np.zeros((N + 1, 3))
+        gyr = np.zeros((N + 1, 3))
+        dt = np.zeros(N)
+        acc[: n + 1] = rng.normal(0, 2, (n + 1, 3)) + [0, 0, 9.81]
+        gyr[: n + 1] = rng.normal(0, 0.5, (n + 1, 3))
+        acc[n + 1:] = acc[n]
+        gyr[n + 1:] = gyr[n]
+        dt[:n] = 0.005
+        ba = rng.normal(0, 0.05, 3)
+        bg = rng.normal(0, 0.01, 3)
+        args = [jnp.asarray(a, jnp.float64) for a in (acc, gyr, dt, ba, bg)]
+        noise = imu_ops.ImuNoise.euroc(jnp.float64)
+        p_seq = imu_ops.preintegrate_sequential(*args, noise)
+        p_par = imu_ops.preintegrate(*args, noise)
+        for field in ("alpha", "beta", "gamma", "jac", "cov", "dt_sum"):
+            a = np.asarray(getattr(p_seq, field))
+            b = np.asarray(getattr(p_par, field))
+            scale = max(1.0, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(b, a, atol=1e-10 * scale,
+                                       err_msg=f"{field} n={n} pad={pad}")
