@@ -432,22 +432,53 @@ def make_carry(est, fp, fl, dtype) -> BurstCarry:
 
 def sync_back(est, fp, fl, carry: BurstCarry, last_t: float):
     """Write the burst carry back into the host estimator + frontends so
-    streaming (or checkpoint/save) can continue from where the burst ended."""
+    streaming (or checkpoint/save) can continue from where the burst ended.
+
+    The factor-side state must come back COMPLETE: window states, feature
+    tables, the marginalization prior, AND the per-interval preintegrations
+    (`est.pres`) + the newest closed interval's raw samples (`est.imu_bufs`,
+    for a SECOND_NEW merge right after handback). Omitting the
+    preintegrations left the streamed solves running against the PRE-burst
+    IMU factors — measured: the first post-handback solve saw cost0 ≈ 8e5
+    and the trajectory walked off at ~0.27 m/frame while the stale window
+    flushed (burst-vs-streaming divergence was ≤1.1 cm up to that point)."""
+    from plslam.models.estimator import ImuBuffer
     from plslam.utils.device import pull_all
 
     nw = est.cfg.window_size
-    (p, q, v, ba, bg, p_bc, q_bc, td) = [
-        np.asarray(x, np.float64) for x in pull_all(
+    (p, q, v, ba, bg, p_bc, q_bc, td, raw_acc, raw_gyr, raw_dts, raw_n,
+     imu_valid) = [
+        np.asarray(x) for x in pull_all(
             carry.st.p, carry.st.q, carry.st.v, carry.st.ba, carry.st.bg,
-            carry.st.p_bc, carry.st.q_bc, carry.st.td)]
-    est.p, est.q, est.v, est.ba, est.bg = p, q, v, ba, bg
-    est.p_bc, est.q_bc, est.td = p_bc, q_bc, float(td)
+            carry.st.p_bc, carry.st.q_bc, carry.st.td,
+            carry.raw_acc, carry.raw_gyr, carry.raw_dts, carry.raw_n,
+            carry.imu["valid"])]
+    est.p, est.q, est.v, est.ba, est.bg = [
+        a.astype(np.float64) for a in (p, q, v, ba, bg)]
+    est.p_bc, est.q_bc, est.td = p_bc.astype(np.float64), q_bc.astype(np.float64), float(td)
     pt_pulled = jax.tree.map(np.asarray, carry.ptab)
     dtab.to_host_point_table(est.pt_table, pt_pulled)
     if fl is not None:
         ln_pulled = jax.tree.map(np.asarray, carry.ltab)
         est.line_w = dtab.to_host_line_table(est.ln_table, ln_pulled)
     est.prior = carry.prior
+    # factor-side preintegrations: carry row i = interval (i→i+1) post-slide,
+    # rows 0..W-2 closed ↦ est.pres[1..W-1]; est.pres[W] is the OPEN interval
+    # (row W-1 is a stale duplicate the next step would overwrite)
+    keys = ("alpha", "beta", "gamma", "jac", "sqrt_info", "dt_sum", "ba", "bg")
+    est.pres = [None] + [
+        ({k: carry.imu[k][i] for k in keys} if imu_valid[i] > 0 else None)
+        for i in range(nw - 1)
+    ] + [None]
+    # raw samples of the newest closed interval (the SECOND_NEW merge source;
+    # older intervals' raw buffers are represented only by their
+    # preintegrations — exactly what the factors need)
+    n_raw = int(raw_n)
+    newest = ImuBuffer()
+    newest.acc = [raw_acc[i].astype(np.float64) for i in range(n_raw + 1)]
+    newest.gyr = [raw_gyr[i].astype(np.float64) for i in range(n_raw + 1)]
+    newest.dt = [float(d) for d in raw_dts[:n_raw]]
+    est.imu_bufs = [ImuBuffer() for _ in range(nw - 1)] + [newest, ImuBuffer()]
     est.timestamps[:] = last_t  # only the newest timestamp is load-bearing
     fp._state = carry.pt_fe
     fp.prev_pyr = list(carry.pyr)

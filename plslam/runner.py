@@ -517,6 +517,12 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     feeder.i = packer.i
     feeder.prev_t, feeder.prev_acc, feeder.prev_gyr = (
         packer.prev_t, packer.prev_acc, packer.prev_gyr)
+    # the next open interval must seed with the chunk-boundary IMU sample
+    # (process_imu seeds from last_acc/last_gyr — the reference passed
+    # acc_0/gyr_0 into the IntegrationBase constructor)
+    if packer.prev_acc is not None:
+        est.last_acc = np.asarray(packer.prev_acc, np.float64)
+        est.last_gyr = np.asarray(packer.prev_gyr, np.float64)
     if failed:
         # streaming semantics: failureDetection → clearState + re-init
         est.clear_state()

@@ -73,6 +73,56 @@ def test_burst_matches_streaming(dataset):
     np.testing.assert_allclose(p_last, ps_b[-1], atol=1e-9)
 
 
+@pytest.mark.slow
+def test_burst_handback_with_imu_noise(tmp_path):
+    """The burst→streaming handback must restore the COMPLETE factor-side
+    state. sync_back originally omitted `est.pres` (per-interval
+    preintegrations), the newest raw interval buffer, and the boundary IMU
+    sample — the streamed solves after handback then ran against the
+    pre-burst IMU factors: first post-handback cost0 ≈ 8e5 and the
+    trajectory walked off at ~0.27 m/frame (while burst-vs-streaming
+    divergence up to the handback was ≤1.1 cm). Clean-IMU datasets hid it
+    (steady-motion preintegrations are nearly interchangeable); this pins
+    the noisy-IMU f32 case end-to-end, including streamed frames AFTER the
+    burst."""
+    H, W, f = 480, 752, 460.0
+    params = synthetic.TrajectoryParams(omega=0.4, z_omega=0.7, wiggle_amp=0.15,
+                                        excite_amp=0.1)
+    seq = synthetic.make_sequence(duration=10.0, n_points=500, n_lines=40, seed=17,
+                                  params=params, acc_noise=0.1, gyr_noise=0.005,
+                                  acc_bias=0.05, gyr_bias=0.002)
+    cam = PinholeRadTan.create(f, f, W / 2, H / 2)
+    render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=200,
+                               blob_sigma=3.0, style="textured")
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    cfg = PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=f, fy=f,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float32",
+                            focal_length=f),
+        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(np.array(seq.p_bc))),
+        loop=LoopConfig(loop_closure=False),
+    )
+    ts_s, ps_s, _, _, _ = run_euroc(str(tmp_path), cfg, use_lines=True)
+    ts_b, ps_b, _, est_b, _ = run_euroc(str(tmp_path), cfg, use_lines=True, burst=16)
+    n_burst = sum(1 for m in est_b.metrics if m.get("burst"))
+    assert n_burst >= 48, n_burst
+    np.testing.assert_allclose(ts_b, ts_s, atol=1e-9)
+    dp = np.linalg.norm(np.asarray(ps_b) - np.asarray(ps_s), axis=1)
+    # the tail (streamed frames after the last chunk) must stay consistent
+    assert dp[-6:].max() < 0.1, f"handback diverged: tail dp {dp[-6:]}"
+    assert np.median(dp) < 0.02, np.median(dp)
+    # post-handback streamed solves see a consistent factor stack
+    post = [m for m in est_b.metrics if not m.get("burst") and "cost0" in m]
+    if post:
+        assert max(m["cost0"] for m in post[-4:]) < 1e4, post[-4:]
+    gt_t, gt_p = np.asarray(seq.frame_t), np.asarray(seq.gt_p)
+    ate_s = ate_rmse(ts_s, ps_s, gt_t, gt_p, align="yaw")
+    ate_b = ate_rmse(ts_b, ps_b, gt_t, gt_p, align="yaw")
+    assert abs(ate_b - ate_s) < 0.05, (ate_b, ate_s)
+
+
 def _loop_gaps(pg, xyz, yaw):
     """Loop-edge residual translations at poses (xyz, yaw) — the revisit gap
     each loop edge measures (same helper as test_loop_e2e)."""
