@@ -54,14 +54,21 @@ def highest_matmul_precision(fn):
 
     Apply to every solver/marginalization/preintegration/initialization
     entry point; leave the image-plane frontend kernels on the fast default.
+
+    `PLSLAM_MATMUL_PRECISION` overrides the level ('highest' default;
+    'high' = 3-pass bf16, measured nearly as accurate; 'default' =
+    kill-switch back to bf16 for A/B measurement).
     """
     import functools
+    import os
 
     import jax
 
+    level = os.environ.get("PLSLAM_MATMUL_PRECISION", "highest")
+
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(level):
             return fn(*args, **kwargs)
 
     return wrapped
