@@ -13,6 +13,13 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class CameraConfig:
+    """Camera intrinsics for every camodocal model the reference's
+    `CameraFactory` dispatches on (SURVEY.md §2.5). Field use per model:
+    PINHOLE — fx..cy + k1,k2,p1,p2 (radtan); KANNALA_BRANDT — fx..cy
+    (= mu,mv,u0,v0) + kb2..kb5 (θ-polynomial); MEI — xi + fx..cy
+    (= gamma1,gamma2,u0,v0) + k1,k2,p1,p2; SCARAMUZZA — a0,a2,a3,a4
+    (ρ-polynomial) + ac,ad,ae (affine) + cx,cy (center)."""
+
     model_type: str = "PINHOLE"
     image_width: int = 752
     image_height: int = 480
@@ -24,6 +31,21 @@ class CameraConfig:
     k2: float = 0.07395907
     p1: float = 0.00019359
     p2: float = 1.76187114e-05
+    # Kannala-Brandt (Equidistant) θ-polynomial coefficients
+    kb2: float = 0.0
+    kb3: float = 0.0
+    kb4: float = 0.0
+    kb5: float = 0.0
+    # MEI mirror parameter
+    xi: float = 0.0
+    # Scaramuzza ρ-polynomial + affine sensor map
+    a0: float = 0.0
+    a2: float = 0.0
+    a3: float = 0.0
+    a4: float = 0.0
+    ac: float = 1.0
+    ad: float = 0.0
+    ae: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -159,14 +181,32 @@ class PLSlamConfig:
 
         dist = g("distortion_parameters", {}) or {}
         proj = g("projection_parameters", {}) or {}
+        mirror = g("mirror_parameters", {}) or {}
+        poly = g("poly_parameters", {}) or {}
+        affine = g("affine_parameters", {}) or {}
+        mt = str(g("model_type", "PINHOLE")).upper()
+        # camodocal key sets per model (CameraFactory YAML surface): KB stores
+        # mu/mv/u0/v0 + k2..k5 in projection_parameters; MEI stores
+        # gamma1/gamma2/u0/v0 + mirror xi; Scaramuzza stores the ρ-polynomial
+        # + affine/center blocks
+        fx = proj.get("fx", proj.get("mu", proj.get("gamma1", 458.654)))
+        fy = proj.get("fy", proj.get("mv", proj.get("gamma2", 457.296)))
+        cx = proj.get("cx", proj.get("u0", affine.get("cx", 367.215)))
+        cy = proj.get("cy", proj.get("v0", affine.get("cy", 248.375)))
         cam = CameraConfig(
-            model_type=g("model_type", "PINHOLE"),
+            model_type=mt,
             image_width=g("image_width", 752),
             image_height=g("image_height", 480),
-            fx=proj.get("fx", 458.654), fy=proj.get("fy", 457.296),
-            cx=proj.get("cx", 367.215), cy=proj.get("cy", 248.375),
+            fx=fx, fy=fy, cx=cx, cy=cy,
             k1=dist.get("k1", 0.0), k2=dist.get("k2", 0.0),
             p1=dist.get("p1", 0.0), p2=dist.get("p2", 0.0),
+            kb2=proj.get("k2", 0.0), kb3=proj.get("k3", 0.0),
+            kb4=proj.get("k4", 0.0), kb5=proj.get("k5", 0.0),
+            xi=mirror.get("xi", 0.0),
+            a0=poly.get("p0", 0.0), a2=poly.get("p2", 0.0),
+            a3=poly.get("p3", 0.0), a4=poly.get("p4", 0.0),
+            ac=affine.get("ac", 1.0), ad=affine.get("ad", 0.0),
+            ae=affine.get("ae", 0.0),
         )
         tracker = TrackerConfig(
             max_cnt=g("max_cnt", 150), min_dist=g("min_dist", 30),

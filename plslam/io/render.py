@@ -153,9 +153,15 @@ def write_png_gray(path: str, img01: np.ndarray):
 
 def write_euroc_dataset(seq: SyntheticSequence, out_dir: str, cam, h: int, w: int,
                         max_frames: int | None = None, blob_sigma: float = 2.0,
-                        style: str = "gaussian", stamp_of=None):
+                        style: str = "gaussian", stamp_of=None,
+                        cam_stamp_offset: float = 0.0):
     """Write the simulator sequence as a miniature EuRoC ASL dataset.
-    stamp_of: see render_frame (perceptual-aliasing scenario)."""
+    stamp_of: see render_frame (perceptual-aliasing scenario).
+    cam_stamp_offset: shift the CLAIMED camera timestamps by this amount
+    while the image content stays at the true sample time — emulates
+    camera-IMU latency (an image stamped t was actually captured at
+    t − cam_stamp_offset, i.e. td_true = −cam_stamp_offset for the
+    estimator's `t_img + td` pairing convention)."""
     mav = os.path.join(out_dir, "mav0")
     os.makedirs(os.path.join(mav, "cam0", "data"), exist_ok=True)
     os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
@@ -174,7 +180,7 @@ def write_euroc_dataset(seq: SyntheticSequence, out_dir: str, cam, h: int, w: in
     with open(os.path.join(mav, "cam0", "data.csv"), "w") as f:
         f.write("#t,filename\n")
         for k in range(n):
-            ns = int(frame_t[k] * 1e9)
+            ns = int((frame_t[k] + cam_stamp_offset) * 1e9)
             name = f"{ns}.png"
             img = render_frame(seq, k, cam, h, w, blob_sigma=blob_sigma,
                                style=style, stamp_of=stamp_of)

@@ -430,7 +430,7 @@ def make_carry(est, fp, fl, dtype) -> BurstCarry:
     )
 
 
-def sync_back(est, fp, fl, carry: BurstCarry, last_t: float):
+def sync_back(est, fp, fl, carry: BurstCarry, last_t: float, ts_win=None):
     """Write the burst carry back into the host estimator + frontends so
     streaming (or checkpoint/save) can continue from where the burst ended.
 
@@ -479,7 +479,14 @@ def sync_back(est, fp, fl, carry: BurstCarry, last_t: float):
     newest.gyr = [raw_gyr[i].astype(np.float64) for i in range(n_raw + 1)]
     newest.dt = [float(d) for d in raw_dts[:n_raw]]
     est.imu_bufs = [ImuBuffer() for _ in range(nw - 1)] + [newest, ImuBuffer()]
-    est.timestamps[:] = last_t  # only the newest timestamp is load-bearing
+    if ts_win is not None:
+        # per-slot timestamps tracked on the HOST by the chunk driver (the
+        # publish times + keyframe flags fully determine the slide; f32
+        # device stamps would lose ~100 s of precision on epoch-scale EuRoC
+        # times) — checkpoint/save right after handback stores true stamps
+        est.timestamps[:] = np.asarray(ts_win, np.float64)
+    else:
+        est.timestamps[:] = last_t  # fallback: newest stamp everywhere
     fp._state = carry.pt_fe
     fp.prev_pyr = list(carry.pyr)
     fp._frame_i = int(carry.frame_i)

@@ -142,3 +142,106 @@ def factors_from_synthetic(
 
     f = f._replace(g=jnp.asarray([0.0, 0.0, 9.81007], dtype))
     return state, f
+
+
+def _imu_slice_interp(imu_t, acc, gyr, t0: float, t1: float):
+    """Samples covering [t0, t1] with linear interpolation AT both
+    boundaries — the off-grid analog of `imu_between` (real camera stamps
+    do not coincide with IMU ticks; `getMeasurements` pairing semantics)."""
+    imu_t = np.asarray(imu_t, np.float64)
+    acc = np.asarray(acc, np.float64)
+    gyr = np.asarray(gyr, np.float64)
+
+    def at(t):
+        i = int(np.clip(np.searchsorted(imu_t, t), 1, len(imu_t) - 1))
+        w = (t - imu_t[i - 1]) / max(imu_t[i] - imu_t[i - 1], 1e-12)
+        w = float(np.clip(w, 0.0, 1.0))
+        return (1 - w) * acc[i - 1] + w * acc[i], (1 - w) * gyr[i - 1] + w * gyr[i]
+
+    lo = int(np.searchsorted(imu_t, t0 + 1e-9))
+    hi = int(np.searchsorted(imu_t, t1 - 1e-9))
+    a0, g0 = at(t0)
+    a1, g1 = at(t1)
+    ts = np.concatenate([[t0], imu_t[lo:hi], [t1]])
+    accs = np.concatenate([[a0], acc[lo:hi], [a1]])
+    gyrs = np.concatenate([[g0], gyr[lo:hi], [g1]])
+    return accs, gyrs, np.diff(ts)
+
+
+def factors_from_tracks(
+    kf_t,          # [nw] keyframe timestamps
+    kf_ids,        # list of nw int arrays: frontend feature ids per keyframe
+    kf_obs,        # list of nw [n_k,2] arrays: normalized obs per keyframe
+    imu_t, imu_acc, imu_gyr,   # raw IMU stream
+    cfg: SolverConfig,
+    lay: TangentLayout,
+    ba, bg,        # bias linearization points (live estimates)
+    dtype=None,
+    noise: imu_ops.ImuNoise | None = None,
+    g_norm: float = 9.81007,
+):
+    """Pack a window from REAL frontend tracks — the live-pipeline analog of
+    `factors_from_synthetic` (no ground truth anywhere): feature ids +
+    normalized observations recorded from the image frontends, IMU
+    preintegrated over the actual keyframe gaps at the live biases. Depths
+    are NOT set here (triangulate from the live poses; `pt_valid` marks
+    rows observed ≥2×). Reference lineage: this is what the estimator's own
+    `FeatureManager`+`IntegrationBase` hand the Ceres problem, rebuilt over
+    an arbitrary keyframe subset for the large-window refinement mode."""
+    dtype = _default_dtype(dtype)
+    nw = lay.nw
+    assert len(kf_t) == nw and len(kf_ids) == nw
+    noise = noise or imu_ops.ImuNoise.euroc(dtype)
+    f = empty_factors(cfg, lay, dtype)
+    ba = np.asarray(ba, np.float64)
+    bg = np.asarray(bg, np.float64)
+
+    pres = []
+    for k in range(nw - 1):
+        acc, gyr, dts = _imu_slice_interp(imu_t, imu_acc, imu_gyr,
+                                          float(kf_t[k]), float(kf_t[k + 1]))
+        pres.append(imu_ops.preintegrate(
+            jnp.asarray(acc, dtype), jnp.asarray(gyr, dtype),
+            jnp.asarray(dts, dtype), jnp.asarray(ba, dtype),
+            jnp.asarray(bg, dtype), noise))
+    f = f._replace(
+        imu_alpha=jnp.stack([p.alpha for p in pres]),
+        imu_beta=jnp.stack([p.beta for p in pres]),
+        imu_gamma=jnp.stack([p.gamma for p in pres]),
+        imu_jac=jnp.stack([p.jac for p in pres]),
+        imu_sqrt_info=jnp.stack([imu_ops.sqrt_info_from_cov(p.cov) for p in pres]),
+        imu_dt=jnp.stack([p.dt_sum for p in pres]),
+        imu_ba=jnp.asarray(np.tile(ba, (nw - 1, 1)), dtype),
+        imu_bg=jnp.asarray(np.tile(bg, (nw - 1, 1)), dtype),
+        imu_valid=jnp.ones((nw - 1,), dtype),
+    )
+
+    # --- points: tracks observed in ≥2 of these keyframes, longest first
+    # (the best-constrained tracks claim the fixed capacity) ---
+    count: dict = {}
+    for ids_k in kf_ids:
+        for i in np.asarray(ids_k, np.int64):
+            count[int(i)] = count.get(int(i), 0) + 1
+    cand = sorted((i for i, c in count.items() if c >= 2),
+                  key=lambda i: -count[i])[: lay.max_f]
+    slot_of = {i: s for s, i in enumerate(cand)}
+    pt_obs = np.zeros((lay.max_f, nw, 2))
+    pt_mask = np.zeros((lay.max_f, nw))
+    for k in range(nw):
+        ids_k = np.asarray(kf_ids[k], np.int64)
+        obs_k = np.asarray(kf_obs[k], np.float64)
+        for j, i in enumerate(ids_k):
+            s = slot_of.get(int(i))
+            if s is not None:
+                pt_obs[s, k] = obs_k[j]
+                pt_mask[s, k] = 1.0
+    pt_start = np.where(pt_mask.any(axis=1), np.argmax(pt_mask > 0, axis=1), 0)
+    pt_valid = (pt_mask.sum(axis=1) >= 2).astype(np.float64)
+    f = f._replace(
+        pt_obs=jnp.asarray(pt_obs, dtype),
+        pt_mask=jnp.asarray(pt_mask, dtype),
+        pt_start=jnp.asarray(pt_start, np.int32),
+        pt_valid=jnp.asarray(pt_valid, dtype),
+        g=jnp.asarray([0.0, 0.0, g_norm], dtype),
+    )
+    return f

@@ -25,6 +25,7 @@ import numpy as np
 from plslam.utils.device import asdev
 from plslam.config import LoopConfig
 from plslam.models import keyframe_db as kdb
+from plslam.ops import cameras as kdb_cams
 from plslam.utils import quat_np as qnp
 from plslam.utils.geometry import quat_mul, quat_rotate, quat_to_rot, rot_to_quat, rot_to_ypr, ypr_to_rot
 from plslam.utils.device import highest_matmul_precision
@@ -761,8 +762,8 @@ class PoseGraph:
             win_ids=cat("win_ids", 1, np.int64),
             win_pts3d=cat("win_pts3d", 3, np.float64),
             win_desc=cat("win_desc", kdb.N_BRIEF_WORDS, np.uint32),
-            cam_params=(np.zeros(8) if cam is None else np.array(
-                [cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2], np.float64)),
+            cam_kind=(0 if cam is None else kdb_cams.cam_to_params(cam)[0]),
+            cam_params=(np.zeros(9) if cam is None else kdb_cams.cam_to_params(cam)[1]),
             has_cam=cam is not None,
         )
 
@@ -771,8 +772,6 @@ class PoseGraph:
         Keyframes added after a load belong to a NEW session: sequential edges
         never bridge the map→session discontinuity (reference sequence
         semantics), and a loop edge into the map relocalizes the session."""
-        from plslam.ops.cameras import PinholeRadTan
-
         z = np.load(path, allow_pickle=True)
         n = int(z["n"])
         self.n = n
@@ -800,8 +799,10 @@ class PoseGraph:
         self.db.n = len(z["gdescs"])
         cam = None
         if bool(z["has_cam"]):
-            fx, fy, cx, cy, k1, k2, p1, p2 = z["cam_params"]
-            cam = PinholeRadTan.create(fx, fy, cx, cy, k1, k2, p1, p2)
+            # cam_kind dispatches the factory; maps saved before the factory
+            # existed carry 8 pinhole params and no cam_kind field
+            kind = int(z["cam_kind"]) if "cam_kind" in z.files else 0
+            cam = kdb_cams.cam_from_params(kind, np.asarray(z["cam_params"], np.float64))
         w_cnt = z["win_cnt"]
         w_off = np.concatenate([[0], np.cumsum(w_cnt)])
         self.db.entries = []

@@ -54,7 +54,7 @@ def distort(cam: PinholeRadTan, mn):
     return mn + jnp.stack([dx, dy], axis=-1)
 
 
-def project(cam: PinholeRadTan, p_c):
+def _pinhole_project(cam: PinholeRadTan, p_c):
     """3D camera-frame points [...,3] -> pixel coords [...,2].
 
     (`PinholeCamera::spaceToPlane`.) Points behind the camera project through
@@ -82,7 +82,7 @@ def _distort_jac(cam: PinholeRadTan, mn):
     return j00, j01, j10, j11
 
 
-def lift(cam: PinholeRadTan, uv, iters: int = 5):
+def _pinhole_lift(cam: PinholeRadTan, uv, iters: int = 5):
     """Pixel coords [...,2] -> undistorted normalized coords [...,2].
 
     (`PinholeCamera::liftProjective`.) The reference used a fixed-point
@@ -105,11 +105,7 @@ def lift(cam: PinholeRadTan, uv, iters: int = 5):
     return mn
 
 
-def pixel_to_normalized(cam: PinholeRadTan, uv, iters: int = 8):
-    return lift(cam, uv, iters)
-
-
-def normalized_to_pixel(cam: PinholeRadTan, mn):
+def _pinhole_normalized_to_pixel(cam: PinholeRadTan, mn):
     md = distort(cam, mn)
     u = cam.fx * md[..., 0] + cam.cx
     v = cam.fy * md[..., 1] + cam.cy
@@ -261,7 +257,7 @@ def mei_lift(cam: MeiCamera, uv, iters: int = 8):
     """(`CataCamera::liftProjective`): undistort (Newton on radtan), then
     invert the sphere projection to a normalized z=1 ray."""
     dcam = PinholeRadTan(cam.fx, cam.fy, cam.cx, cam.cy, cam.k1, cam.k2, cam.p1, cam.p2)
-    mn = lift(dcam, uv, iters)
+    mn = _pinhole_lift(dcam, uv, iters)
     r2 = jnp.sum(mn * mn, axis=-1, keepdims=True)
     xi = cam.xi
     # sphere point: solve for the ray through (mn, 1) intersecting the sphere
@@ -270,3 +266,104 @@ def mei_lift(cam: MeiCamera, uv, iters: int = 8):
     z = lam - xi
     xy = lam * mn
     return xy / jnp.maximum(z, 1e-6)
+
+
+# --------------------------------------------------------------------------
+# Generic camera dispatch + factory (the reference's `CameraFactory`
+# semantics — `camera_model/src/camera_models/CameraFactory.cc` lineage,
+# SURVEY.md §2.5: every node constructs its camera from `model_type` and
+# calls `liftProjective`/`spaceToPlane` through the base-class interface).
+# Dispatch is isinstance-on-NamedTuple at TRACE time — zero runtime cost
+# inside jit; a different camera class is a different pytree treedef, so
+# cached programs specialize per model automatically.
+# --------------------------------------------------------------------------
+
+def project(cam, p_c):
+    """3D camera-frame points [...,3] -> pixel coords [...,2] (`spaceToPlane`)."""
+    if isinstance(cam, EquidistantCamera):
+        return equi_project(cam, p_c)
+    if isinstance(cam, MeiCamera):
+        return mei_project(cam, p_c)
+    if isinstance(cam, ScaramuzzaCamera):
+        return scara_project(cam, p_c)
+    return _pinhole_project(cam, p_c)
+
+
+def lift(cam, uv, iters: int = 5):
+    """Pixel coords [...,2] -> normalized z=1 coords [...,2] (`liftProjective`)."""
+    if isinstance(cam, EquidistantCamera):
+        return equi_lift(cam, uv, max(iters, 8))
+    if isinstance(cam, MeiCamera):
+        return mei_lift(cam, uv, max(iters, 8))
+    if isinstance(cam, ScaramuzzaCamera):
+        return scara_lift(cam, uv)
+    return _pinhole_lift(cam, uv, iters)
+
+
+def pixel_to_normalized(cam, uv, iters: int = 8):
+    return lift(cam, uv, iters)
+
+
+def normalized_to_pixel(cam, mn):
+    """Normalized z=1 coords -> pixel: project the ray (x, y, 1)."""
+    if isinstance(cam, PinholeRadTan):
+        return _pinhole_normalized_to_pixel(cam, mn)
+    ones = jnp.ones_like(mn[..., :1])
+    return project(cam, jnp.concatenate([mn, ones], axis=-1))
+
+
+def make_camera(cc, dtype=jnp.float32):
+    """Build the camera model named by `CameraConfig.model_type` (the
+    reference's `CameraFactory::generateCameraFromYamlFile`).
+
+    Accepted names (case-insensitive): PINHOLE; KANNALA_BRANDT / EQUIDISTANT /
+    FISHEYE; MEI / CATA; SCARAMUZZA / OCAM. Parameter mapping documented per
+    branch (the camodocal YAML key set → CameraConfig fields, config.py)."""
+    mt = str(cc.model_type).upper()
+    if mt in ("PINHOLE", ""):
+        return PinholeRadTan.create(cc.fx, cc.fy, cc.cx, cc.cy,
+                                    cc.k1, cc.k2, cc.p1, cc.p2, dtype=dtype)
+    if mt in ("KANNALA_BRANDT", "EQUIDISTANT", "FISHEYE"):
+        # camodocal projection_parameters {k2..k5, mu, mv, u0, v0} →
+        # fields (k1→k2, k2→k3, k3→k4, k4 unused… see config.from_yaml):
+        # CameraConfig carries them as kb2..kb5 + fx/fy/cx/cy (= mu/mv/u0/v0)
+        return EquidistantCamera.create(cc.fx, cc.fy, cc.cx, cc.cy,
+                                        cc.kb2, cc.kb3, cc.kb4, cc.kb5, dtype=dtype)
+    if mt in ("MEI", "CATA"):
+        # mirror_parameters {xi} + projection {gamma1, gamma2, u0, v0} +
+        # distortion {k1, k2, p1, p2}
+        return MeiCamera.create(cc.xi, cc.fx, cc.fy, cc.cx, cc.cy,
+                                cc.k1, cc.k2, cc.p1, cc.p2, dtype=dtype)
+    if mt in ("SCARAMUZZA", "OCAM"):
+        # poly_parameters {p0, p2, p3, p4} + affine_parameters {ac, ad, ae} +
+        # center (cx, cy)
+        return ScaramuzzaCamera.create(cc.a0, cc.a2, cc.a3, cc.a4,
+                                       cc.ac, cc.ad, cc.ae, cc.cx, cc.cy, dtype=dtype)
+    raise ValueError(f"unknown camera model_type {cc.model_type!r}")
+
+
+# fixed-width (kind, params[9]) serialization for pose-graph persistence
+_CAM_KINDS = ("PINHOLE", "KANNALA_BRANDT", "MEI", "SCARAMUZZA")
+
+
+def cam_to_params(cam):
+    """-> (kind_index, float64[9]) for npz storage (pose_graph save)."""
+    import numpy as np
+
+    vals = [float(v) for v in cam]
+    vals += [0.0] * (9 - len(vals))
+    if isinstance(cam, EquidistantCamera):
+        k = 1
+    elif isinstance(cam, MeiCamera):
+        k = 2
+    elif isinstance(cam, ScaramuzzaCamera):
+        k = 3
+    else:
+        k = 0
+    return k, np.asarray(vals, np.float64)
+
+
+def cam_from_params(kind, params, dtype=jnp.float32):
+    cls = (PinholeRadTan, EquidistantCamera, MeiCamera, ScaramuzzaCamera)[int(kind)]
+    n = len(cls._fields)
+    return cls(*[jnp.asarray(v, dtype) for v in params[:n]])

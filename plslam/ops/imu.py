@@ -196,6 +196,11 @@ def preintegrate(acc, gyr, dt, ba, bg, noise: ImuNoise) -> Preintegration:
     """
     dtype = acc.dtype
     n = dt.shape[0]
+    if n == 0:  # empty buffer → identity preintegration (matches sequential)
+        return Preintegration(
+            jnp.zeros(3, dtype), jnp.zeros(3, dtype), quat_identity(dtype),
+            jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype=dtype),
+            jnp.zeros((), dtype), jnp.asarray(ba, dtype), jnp.asarray(bg, dtype))
     noise_q = _noise_diag(noise, dtype)
     I3 = jnp.eye(3, dtype=dtype)
 

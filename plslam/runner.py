@@ -73,6 +73,7 @@ def run_euroc(
     progress: bool = False,
     pipeline: bool = True,
     burst: int = 0,
+    record_tracks: dict | None = None,
 ):
     """Full pipeline on an EuRoC ASL sequence: image frontends → estimator →
     pose graph (the whole reference launch graph in one loop — SURVEY.md §1).
@@ -104,15 +105,15 @@ def run_euroc(
     from plslam.models.frontend_lines import FrontendLines
     from plslam.models.frontend_points import FrontendPoints
     from plslam.models.pose_graph import PoseGraph
-    from plslam.ops.cameras import PinholeRadTan
+    from plslam.ops.cameras import make_camera
 
     config = config or PLSlamConfig()
     loop_closure = config.loop.loop_closure if loop_closure is None else loop_closure
     seq = EurocSequence.load(seq_path)
-    cam = PinholeRadTan.create(
-        config.camera.fx, config.camera.fy, config.camera.cx, config.camera.cy,
-        config.camera.k1, config.camera.k2, config.camera.p1, config.camera.p2,
-    )
+    # CameraFactory dispatch on model_type (PINHOLE / KANNALA_BRANDT / MEI /
+    # SCARAMUZZA) — every downstream consumer goes through the generic
+    # lift/project interface, so the whole pipeline follows the model
+    cam = make_camera(config.camera)
     est = Estimator(config)
     # the reference loads `fisheye_mask.jpg` (nonzero = usable FOV); absent a
     # file, `fisheye: 1` falls back to the standard centered circle
@@ -195,6 +196,11 @@ def run_euroc(
                                     est.relo_result["q_old"])
             relo_edge["ij"] = None
             est.relo_result = None
+        elif relo_edge["ij"] is not None and est.relo is None and est.relo_result is None:
+            # the pending round trip died (failure detection ran clear_state,
+            # wiping est.relo/relo_result) — clear the edge so the raw PnP
+            # measurement stands and burst mode can re-enter after recovery
+            relo_edge["ij"] = None
         # emit only frames that were actually solved (the serial loop's
         # `if est.initialized` gate, evaluated at the frame's own time)
         if "cost" not in m or m.get("failure") or not est.initialized:
@@ -245,7 +251,9 @@ def run_euroc(
     prev_cam_t = None
     n_cam = len(seq.cam_t)
     k = 0
-    burst_ok = burst > 0 and viz is None
+    # track recording (for the large-window refinement mode) needs per-frame
+    # id/obs readbacks — a streaming-loop consumer, so it forces streaming
+    burst_ok = burst > 0 and viz is None and record_tracks is None
     while k < n_cam:
         if n_pub >= max_pub:
             break
@@ -327,6 +335,11 @@ def run_euroc(
             ids, pts, vel, uv = out_h.get()
             ln_ids, ln_segs = None, None
         n_pub += 1
+        if record_tracks is not None and len(ids):
+            # frontend tracks keyed by publish time: feature ids + normalized
+            # obs (the /feature topic payload) for offline re-packing
+            record_tracks[float(t)] = (np.asarray(ids).copy(),
+                                       np.asarray(pts, np.float64).copy())
         # publish-frame output work of the PREVIOUS published frame runs here
         # — its deferred solve's round trip overlapped this frame's decode +
         # tracking + frontend readbacks (the reference's frontend↔backend
@@ -414,6 +427,11 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
     k = k0
     prev_t = float(cam_t[k0 - 1]) if k0 > 0 else float(cam_t[0]) - 0.05
     last_pub_t = prev_t
+    W = cfg.window_size
+    # per-slot window timestamps, replicated on the host from the chunk's
+    # publish times + keyframe flags (the estimator's exact slide rules) —
+    # sync_back restores the true array, not a flattened copy
+    ts_win = est.timestamps.copy()
     td = float(est.td)
     failed = False
     relo_match = None
@@ -470,6 +488,13 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
                 failed = True
                 break
             tt = float(tchunk[j * stride])
+            # timestamp slide mirror (process_frame writes slot W, then
+            # MARGIN_OLD rolls left / SECOND_NEW copies W→W-1)
+            ts_win[W] = tt
+            if kf_b[j]:
+                ts_win[:-1] = ts_win[1:]
+            else:
+                ts_win[W - 1] = ts_win[W]
             p_raw = np.asarray(p_b[j], np.float64)
             q_raw = np.asarray(q_b[j], np.float64)
             if pgraph is not None and kf_b[j]:
@@ -485,9 +510,11 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
                     if (config.loop.fast_relocalization
                             and loop["i"] < pgraph.base_n):
                         pgraph.fast_relocalize(loop)
-                    elif pgraph.last_match is not None:
-                        # relocalization round trip → finish this chunk,
-                        # then hand back to streaming for the joint solve
+                    # relocalization round trip runs INDEPENDENTLY of the
+                    # fast_relocalize snap (streaming _emit does both):
+                    # finish this chunk, hand back to streaming for the
+                    # joint solve, then burst re-enters
+                    if pgraph.last_match is not None:
                         relo_match = dict(pgraph.last_match)
                 if pgraph._pending_opt and relo_match is None:
                     pgraph.optimize()
@@ -513,7 +540,7 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
         if progress:
             print(f"[burst {k}] t={prev_t:.2f} pts={int(np_b[-1])} cost={float(cost_b[-1]):.3g}")
     pool.shutdown(wait=False, cancel_futures=True)
-    burst_mod.sync_back(est, fp, fLines, carry, last_pub_t)
+    burst_mod.sync_back(est, fp, fLines, carry, last_pub_t, ts_win=ts_win)
     feeder.i = packer.i
     feeder.prev_t, feeder.prev_acc, feeder.prev_gyr = (
         packer.prev_t, packer.prev_acc, packer.prev_gyr)
@@ -625,6 +652,127 @@ def run_synthetic_large_window(
     stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
     st_out = consensus.consensus_solve(stack(states), stack(factors), lay, cfg,
                                        rounds=rounds, num_iters=num_iters)
+    ref_p, ref_q = consensus.stitch_trajectory(st_out, parts, n_kf)
+    return live_t, live_p, ref_p, ref_q, est
+
+
+def run_euroc_large_window(
+    seq_path: str,
+    config: PLSlamConfig | None = None,
+    kf_stride: int = 3,
+    rounds: int = 3,
+    num_iters: int = 8,
+    mesh_shape: tuple | None = None,
+    max_frames: int | None = None,
+):
+    """Distributed large-window refinement FROM IMAGES (SURVEY.md §5.7 +
+    §2.6 TP/SP end-to-end): stream the REAL image pipeline (PNG decode →
+    CLAHE → frontends → estimator), record the frontends' tracks, then
+    refine the full keyframe history by keyframe-partitioned consensus BA
+    where every partition's landmark system is SHARDED over a
+    ('kf_part','lmk') device mesh (`parallel.mesh2d`). Initialization is
+    honest: poses from the live (drifted) trajectory, velocities by finite
+    differences, biases from the estimator's final window, depths
+    re-triangulated from live poses, observations from the real trackers —
+    no ground truth and no pre-packed windows anywhere.
+
+    mesh_shape (kf_part, lmk) defaults to using all available devices in a
+    (P, L) grid with L = 4 if capacities divide, else (1, n_devices).
+    Returns (kf_t, live_p [K,3], refined_p [K,3], refined_q [K,4], est)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plslam.models import packing, triangulate
+    from plslam.models.state import layout, zero_state
+    from plslam.parallel import consensus, mesh2d
+    from plslam.utils import quat_np as qnp
+
+    config = config or PLSlamConfig()
+    cfg = config.solver
+    lay = layout(cfg)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    # ---- live pass: the real image pipeline, tracks recorded ----
+    tracks: dict = {}
+    ts, ps, qs, est, _ = run_euroc(seq_path, config, loop_closure=False,
+                                   max_frames=max_frames, record_tracks=tracks)
+    ts = np.asarray(ts)
+    have = np.asarray([float(t) in tracks for t in ts])
+    ts, ps, qs = ts[have], np.asarray(ps)[have], np.asarray(qs)[have]
+
+    # ---- mesh geometry: P partitions × L landmark shards ----
+    kf_sel_all = np.arange(0, len(ts), kf_stride)
+    n_dev = len(jax.devices())
+    if mesh_shape is None:
+        L = 4 if (n_dev >= 8 and lay.max_f % 4 == 0 and lay.max_l % 4 == 0) else 1
+        n_parts_data = max((len(kf_sel_all) - 1) // cfg.window_size, 1)
+        mesh_shape = (max(min(n_dev // L, n_parts_data), 1), L)
+    n_part_mesh, L = mesh_shape
+    assert lay.max_f % L == 0 and lay.max_l % L == 0, \
+        "max_features/max_line_feats must divide the lmk mesh axis"
+
+    kf_sel = np.arange(0, len(ts), kf_stride)
+    n_kf = len(kf_sel)
+    if n_kf < cfg.window_size + 2:
+        raise ValueError(f"only {n_kf} keyframes — need > window_size+1")
+    # the partition count must EQUAL the mesh row axis (each mesh row owns
+    # exactly one partition in the SPMD solve); trim the history to fit
+    n_parts = n_part_mesh
+    n_kf = n_parts * cfg.window_size + 1
+    if len(kf_sel) < n_kf:
+        raise ValueError(f"need {n_kf} keyframes for a {n_part_mesh}-row mesh, "
+                         f"have {len(kf_sel)} (lower kf_stride or mesh rows)")
+    kf_sel = kf_sel[:n_kf]
+    live_t = ts[kf_sel]
+    live_p = np.asarray(ps)[kf_sel]
+    live_q = np.asarray(qs)[kf_sel]
+    live_v = np.gradient(live_p, live_t, axis=0)
+
+    # ---- pack each partition from the recorded REAL tracks ----
+    from plslam.io.euroc import EurocSequence
+
+    seq = EurocSequence.load(seq_path)
+    parts = consensus.partition_frames(n_kf, cfg.window_size)
+    nw = cfg.window_size + 1
+    ba = np.asarray(est.ba[cfg.window_size])
+    bg = np.asarray(est.bg[cfg.window_size])
+    noise = None
+    states, factors = [], []
+    for pr in parts:
+        sel = [int(kf_sel[i]) for i in pr]
+        kt = [float(ts[i]) for i in sel]
+        kids = [tracks[t][0] for t in kt]
+        kobs = [tracks[t][1] for t in kt]
+        f = packing.factors_from_tracks(
+            kt, kids, kobs, seq.imu_t, seq.imu_acc, seq.imu_gyr,
+            cfg, lay, ba, bg, dtype=dtype, g_norm=config.imu.g_norm)
+        st = zero_state(cfg, dtype)._replace(
+            p=jnp.asarray(live_p[pr], dtype),
+            q=jnp.asarray(live_q[pr], dtype),
+            v=jnp.asarray(live_v[pr], dtype),
+            ba=jnp.asarray(np.tile(ba, (nw, 1)), dtype),
+            bg=jnp.asarray(np.tile(bg, (nw, 1)), dtype),
+            p_bc=jnp.asarray(est.p_bc, dtype),
+            q_bc=jnp.asarray(est.q_bc, dtype),
+        )
+        q_wc = qnp.quat_mul(live_q[pr], np.asarray(est.q_bc))
+        p_wc = live_p[pr] + qnp.quat_rotate(live_q[pr], np.broadcast_to(
+            np.asarray(est.p_bc), live_p[pr].shape))
+        inv_d, ok = triangulate.triangulate_points(
+            jnp.asarray(p_wc, dtype), jnp.asarray(q_wc, dtype),
+            f.pt_obs, f.pt_mask, f.pt_start)
+        inv_d = jnp.where(ok & (inv_d > 0), inv_d, 0.2)
+        # rows that fail triangulation keep a default depth but stay valid —
+        # the solver's robust loss + depth bounds handle them like streaming
+        st = st._replace(inv_depth=inv_d * f.pt_valid + 0.2 * (1 - f.pt_valid))
+        states.append(st)
+        factors.append(f)
+
+    stack = lambda items: jax.tree.map(lambda *xs: jnp.stack(xs), *items)
+    mesh = mesh2d.make_mesh2d(n_part_mesh, L)
+    st_out = mesh2d.consensus_distributed_solve(
+        stack(states), stack(factors), lay, cfg, mesh,
+        rounds=rounds, num_iters=num_iters)
     ref_p, ref_q = consensus.stitch_trajectory(st_out, parts, n_kf)
     return live_t, live_p, ref_p, ref_q, est
 

@@ -64,10 +64,12 @@ def highest_matmul_precision(fn):
 
     import jax
 
-    level = os.environ.get("PLSLAM_MATMUL_PRECISION", "highest")
-
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
+        # read at CALL time: the precision context is part of jax's jit cache
+        # key, so an A/B harness can flip the env var inside ONE process (one
+        # tunnel claim) and get separately-compiled executables per level
+        level = os.environ.get("PLSLAM_MATMUL_PRECISION", "highest")
         with jax.default_matmul_precision(level):
             return fn(*args, **kwargs)
 

@@ -20,12 +20,15 @@ import numpy as np  # noqa: E402
 
 def main():
     pid, nproc, addr = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    # optional: landmark-axis width (devices per process), default 4; a
+    # 4th argv below 4 keeps the 4-core box un-oversubscribed for TIMING
+    n_lmk = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     from plslam.parallel.multihost import global_mesh_2d, init_distributed
 
     assert init_distributed(addr, nproc, pid), "distributed init failed"
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.devices()) == 4 * nproc, len(jax.devices())
-    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == n_lmk * nproc, len(jax.devices())
+    assert len(jax.local_devices()) == n_lmk
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -38,8 +41,8 @@ def main():
 
     cfg = SolverConfig(max_features=48, max_line_feats=8)
     lay = layout(cfg)
-    mesh = global_mesh_2d(n_part=nproc, n_lmk=4)
-    assert mesh.devices.shape == (nproc, 4)
+    mesh = global_mesh_2d(n_part=nproc, n_lmk=n_lmk)
+    assert mesh.devices.shape == (nproc, n_lmk)
     # row p of the mesh must be process p's devices (consensus axis on "DCN")
     assert all(d.process_index == p for p in range(nproc) for d in mesh.devices[p])
 
@@ -47,8 +50,9 @@ def main():
     seq = synthetic.make_sequence(duration=6.0, n_points=160, n_lines=16, seed=3)
     rng = np.random.default_rng(1)
     states, factors = [], []
-    for frames in ([0, 3, 6, 9, 12, 15, 18, 21, 24, 27, 30],
-                   [30, 33, 36, 39, 42, 45, 48, 51, 54, 57, 60]):
+    all_windows = ([0, 3, 6, 9, 12, 15, 18, 21, 24, 27, 30],
+                   [30, 33, 36, 39, 42, 45, 48, 51, 54, 57, 60])
+    for frames in all_windows[:nproc]:  # one partition per process (weak scaling)
         st_gt, f = packing.factors_from_synthetic(seq, frames, cfg, lay,
                                                   with_lines=False, dtype=jnp.float32)
         delta = np.zeros(lay.dim, np.float32)
@@ -82,6 +86,33 @@ def main():
     local_cost = np.asarray([s.data for s in costs.addressable_shards][0])
     assert np.isfinite(local_cost).all()
     print(f"MP_OK pid={pid} cost={float(local_cost[0]):.6f}")
+
+    if os.environ.get("PLSLAM_MP_TIME"):
+        # weak-scaling TIMING row (VERDICT r4 weak #5): repeated solve calls
+        # with per-call input jitter (no executable/buffer memoization), all
+        # processes in lockstep through the collective
+        import time
+
+        def jittered(i):
+            return jax.tree.map(
+                lambda a: jax.make_array_from_callback(
+                    a.shape, NamedSharding(mesh, P("kf_part")),
+                    lambda idx: a[idx] + np.float32(1e-6 * i)
+                    if a.dtype == np.float32 and a is st_np.p else a[idx]),
+                st_np)
+
+        n_warm, n_meas = 4, 10
+        for i in range(n_warm):
+            out = mesh2d.partitioned_distributed_solve(
+                jittered(i), f_g, lay, cfg, mesh, num_iters=3)
+            jax.block_until_ready(out)
+        t0 = time.time()
+        for i in range(n_meas):
+            out = mesh2d.partitioned_distributed_solve(
+                jittered(n_warm + i), f_g, lay, cfg, mesh, num_iters=3)
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / n_meas
+        print(f"MP_TIME pid={pid} ms_per_solve={dt*1e3:.2f} iters=3")
 
 
 if __name__ == "__main__":
