@@ -19,7 +19,8 @@ def save_estimator(est: Estimator, path: str):
     d = dict(
         frame_count=est.frame_count, initialized=est.initialized,
         timestamps=est.timestamps, p=est.p, q=est.q, v=est.v, ba=est.ba, bg=est.bg,
-        p_bc=est.p_bc, q_bc=est.q_bc, td=est.td, line_w=est.line_w,
+        p_bc=est.p_bc, q_bc=est.q_bc, td=est.td, td_pair=est.td_pair,
+        line_w=est.line_w,
         # point table
         pt_ids=est.pt_table.ids, pt_start=est.pt_table.start, pt_obs=est.pt_table.obs,
         pt_vel=est.pt_table.vel, pt_mask=est.pt_table.mask,
@@ -65,6 +66,8 @@ def load_estimator(est: Estimator, path: str):
     est.timestamps = z["timestamps"]
     est.p, est.q, est.v, est.ba, est.bg = z["p"], z["q"], z["v"], z["ba"], z["bg"]
     est.p_bc, est.q_bc, est.td = z["p_bc"], z["q_bc"], float(z["td"])
+    if "td_pair" in z.files:  # absent in pre-r5 checkpoints
+        est.td_pair = z["td_pair"]
     est.line_w = z["line_w"]
     t = est.pt_table
     t.ids, t.start, t.obs = z["pt_ids"], z["pt_start"], z["pt_obs"]

@@ -26,7 +26,12 @@ deviations, all documented where they occur:
     preintegration delta instead of per-sample host dead-reckoning — the
     same midpoint integrator, equal up to float association;
   * with `estimate_td`, the IMU pairing uses the chunk-start td (streaming
-    re-pairs per frame); exact when estimate_td is off;
+    re-pairs per frame). The factors record that pairing td per frame
+    (`td_pair` carry → `pt_td_ref`), so the solver corrects only the
+    REMAINING (td − td_pair) exactly like streaming — the deviation is
+    just a ≤1-chunk lag in the pairing point, bounded by
+    tests/test_burst.py::test_burst_with_estimate_td; exact when
+    estimate_td is off;
   * loop closure runs at CHUNK granularity: each step emits the keyframe
     payload (window points as pixel uv + world 3D + ids — the reference's
     `/keyframe_pose` + `/keyframe_point` topics) in the chunk readback, and
@@ -77,6 +82,7 @@ class BurstCarry(NamedTuple):
     raw_gyr: jnp.ndarray
     raw_dts: jnp.ndarray  # [IMU_PAD]
     raw_n: jnp.ndarray  # [] int32
+    td_pair: jnp.ndarray  # [NW] per-slot IMU-pairing td (ProjectionTdFactor td_i)
     fail: jnp.ndarray  # [] bool — sticky failureDetection latch
 
 
@@ -117,7 +123,7 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
 
     def step(consts, carry: BurstCarry, inp):
         cam, f_thresh, min_score, fov_mask, noise, g = consts
-        imgs, img_dts, npre, acc, gyr, dts, n_imu = inp
+        imgs, img_dts, npre, acc, gyr, dts, n_imu, td0 = inp
 
         # --------------- frontends: track every camera frame -----------------
         # the stream publishes the FIRST frame of each stride group
@@ -195,6 +201,8 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         imu_f["valid"] = imu_f["valid"].at[W - 1].set(1.0)
 
         # ------------------------- factor assembly ---------------------------
+        # this frame's IMU pairing used the chunk-start td (td0 input)
+        td_pair = carry.td_pair.at[W].set(td0)
         f = res.empty_factors(cfg, lay, dtype)
         f = f._replace(
             imu_alpha=imu_f["alpha"], imu_beta=imu_f["beta"],
@@ -203,7 +211,7 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
             imu_ba=imu_f["ba"], imu_bg=imu_f["bg"], imu_valid=imu_f["valid"],
             g=g,
             pt_obs=ptab.obs, pt_vel=ptab.vel, pt_mask=ptab.mask,
-            pt_start=ptab.start,
+            pt_start=ptab.start, pt_td_ref=td_pair,
             ln_obs=ltab.obs, ln_mask=ltab.mask, ln_start=ltab.start,
         )
         active = ptab.ids >= 0
@@ -289,6 +297,9 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         ptab_new = dtab.pt_slide_new(ptab)
         ltab_new = dtab.ln_slide_new(ltab)
 
+        # td_pair slides exactly like the timestamps array
+        td_pair_old = jnp.concatenate([td_pair[1:], td_pair[-1:]])
+        td_pair_new = td_pair.at[W - 1].set(td_pair[W])
         sel = lambda a, b: _tree_where(kf, a, b)
         new_carry = BurstCarry(
             pt_fe=pt_fe, pyr=pyr, ln_fe=ln_fe, frame_i=frame_i,
@@ -301,6 +312,7 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
             raw_gyr=jnp.where(kf, gyr, gyr_m),
             raw_dts=jnp.where(kf, dts, dts_m),
             raw_n=jnp.where(kf, n_imu, n_m),
+            td_pair=jnp.where(kf, td_pair_old, td_pair_new),
             fail=fail,
         )
         # sticky failure: freeze the estimator state, keep the frontends
@@ -310,7 +322,8 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
             pt_fe=pt_fe, pyr=pyr, ln_fe=ln_fe, frame_i=frame_i,
             st=carry.st, ptab=carry.ptab, ltab=carry.ltab, prior=carry.prior,
             imu=carry.imu, raw_acc=carry.raw_acc, raw_gyr=carry.raw_gyr,
-            raw_dts=carry.raw_dts, raw_n=carry.raw_n, fail=fail,
+            raw_dts=carry.raw_dts, raw_n=carry.raw_n,
+            td_pair=carry.td_pair, fail=fail,
         )
         out_carry = jax.tree.map(
             lambda a, b: _tree_where(carry.fail, a, b), frozen, new_carry)
@@ -328,7 +341,7 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
 
     @jax.jit
     def chunk(consts, carry, inputs):
-        imgs, img_dts, acc, gyr, dts, n_imu = inputs
+        imgs, img_dts, acc, gyr, dts, n_imu, td0s = inputs
         noise = consts[4]
         # one VMAPPED preintegration pass for the whole chunk (B-wide batched
         # 512-step scan ≈ the cost of ONE interval) at the chunk-start bias;
@@ -339,7 +352,7 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
             lambda a, gy, d: _pre_fields(imu_ops.preintegrate(a, gy, d, ba0, bg0, noise))
         )(acc, gyr, dts)
         return jax.lax.scan(lambda c, i: step(consts, c, i), carry,
-                            (imgs, img_dts, pres, acc, gyr, dts, n_imu))
+                            (imgs, img_dts, pres, acc, gyr, dts, n_imu, td0s))
 
     return chunk
 
@@ -426,6 +439,7 @@ def make_carry(est, fp, fl, dtype) -> BurstCarry:
         st=st, ptab=ptab, ltab=ltab, prior=est.prior, imu=imu,
         raw_acc=acc_p, raw_gyr=gyr_p, raw_dts=dts_p,
         raw_n=jnp.asarray(len(buf.dt), jnp.int32),
+        td_pair=jnp.asarray(est.td_pair, dtype),
         fail=jnp.asarray(False),
     )
 
@@ -447,15 +461,16 @@ def sync_back(est, fp, fl, carry: BurstCarry, last_t: float, ts_win=None):
 
     nw = est.cfg.window_size
     (p, q, v, ba, bg, p_bc, q_bc, td, raw_acc, raw_gyr, raw_dts, raw_n,
-     imu_valid) = [
+     imu_valid, td_pair) = [
         np.asarray(x) for x in pull_all(
             carry.st.p, carry.st.q, carry.st.v, carry.st.ba, carry.st.bg,
             carry.st.p_bc, carry.st.q_bc, carry.st.td,
             carry.raw_acc, carry.raw_gyr, carry.raw_dts, carry.raw_n,
-            carry.imu["valid"])]
+            carry.imu["valid"], carry.td_pair)]
     est.p, est.q, est.v, est.ba, est.bg = [
         a.astype(np.float64) for a in (p, q, v, ba, bg)]
     est.p_bc, est.q_bc, est.td = p_bc.astype(np.float64), q_bc.astype(np.float64), float(td)
+    est.td_pair[:] = td_pair.astype(np.float64)
     pt_pulled = jax.tree.map(np.asarray, carry.ptab)
     dtab.to_host_point_table(est.pt_table, pt_pulled)
     if fl is not None:

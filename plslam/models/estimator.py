@@ -108,6 +108,7 @@ class Estimator:
         self.frame_count = 0  # slot index the NEXT frame occupies (0..nw-1)
         self.initialized = False
         self.timestamps = np.zeros(nw)
+        self.td_pair = np.zeros(nw)  # per-slot IMU-pairing td (factor td_i)
         self.p = np.zeros((nw, 3))
         self.q = np.tile([1.0, 0, 0, 0], (nw, 1)).astype(np.float64)
         self.v = np.zeros((nw, 3))
@@ -240,6 +241,9 @@ class Estimator:
             self.clear_state()
             fc = 0
         self.timestamps[fc] = t
+        # td the IMU pairing used for THIS frame (the feeder reads est.td
+        # live right before process_frame) — the ProjectionTdFactor's td_i
+        self.td_pair[fc] = self.td
         self._close_interval(fc)
 
         self.pt_table.add_frame(fc, pt_ids, pt_obs, pt_vel)
@@ -485,6 +489,7 @@ class Estimator:
         f = f._replace(
             pt_obs=asdev(self.pt_table.obs, dtype),
             pt_vel=asdev(self.pt_table.vel, dtype),
+            pt_td_ref=asdev(self.td_pair, dtype),
             pt_rowf=jnp.asarray(rowf, dtype),
             rs_tr=jnp.asarray(rs_tr, dtype),
             pt_mask=asdev(self.pt_table.mask.astype(np.float64), dtype),
@@ -656,6 +661,7 @@ class Estimator:
             for arr in (self.p, self.q, self.v, self.ba, self.bg):
                 arr[nw - 1] = arr[nw]
             self.timestamps[nw - 1] = self.timestamps[nw]
+            self.td_pair[nw - 1] = self.td_pair[nw]
             self.pt_table.slide_new()
             self.ln_table.slide_new()
         # NOTE: the next interval's open ImuBuffer was already appended at
@@ -678,6 +684,7 @@ class Estimator:
             arr = getattr(self, name)
             arr[:-1] = arr[1:]
         self.timestamps[:-1] = self.timestamps[1:]
+        self.td_pair[:-1] = self.td_pair[1:]
 
     # ---------------------------------------------------------------- output
     def window_points(self):

@@ -43,6 +43,13 @@ class WindowFactors(NamedTuple):
     # --- point features ---
     pt_obs: jnp.ndarray  # [MAX_F,NW,2] normalized coords
     pt_vel: jnp.ndarray  # [MAX_F,NW,2] normalized-coord velocity (for td)
+    # td used by the IMU pairing when each frame was processed (the
+    # reference ProjectionTdFactor's per-measurement td_i): the live loop
+    # pairs IMU at t_img + td_live, so the factor must correct only the
+    # REMAINING (td − td_i) — an absolute td·vel shift double-counts once
+    # td moves and equilibrates at td_true/2 (measured: a 12 ms injected
+    # latency crawled to ~4 ms with the absolute form)
+    pt_td_ref: jnp.ndarray  # [NW]
     pt_rowf: jnp.ndarray  # [MAX_F,NW] image-row fraction (rolling shutter)
     rs_tr: jnp.ndarray  # [] rolling-shutter line-delay total (s); 0 = global shutter
     pt_mask: jnp.ndarray  # [MAX_F,NW] float 0/1 observed
@@ -88,6 +95,7 @@ def empty_factors(cfg, lay: TangentLayout, dtype=jnp.float32) -> WindowFactors:
         g=jnp.asarray([0.0, 0.0, 9.81007], dtype),
         pt_obs=jnp.zeros((MF, NW, 2), dtype),
         pt_vel=jnp.zeros((MF, NW, 2), dtype),
+        pt_td_ref=jnp.zeros((NW,), dtype),
         pt_rowf=jnp.zeros((MF, NW), dtype),
         rs_tr=jnp.zeros((), dtype),
         pt_mask=jnp.zeros((MF, NW), dtype),
@@ -148,8 +156,9 @@ def _world_points(state: WindowState, f: WindowFactors) -> jnp.ndarray:
     v_i = jnp.take_along_axis(f.pt_vel, start[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1)[:, 0, :]
     rowf_i = jnp.take_along_axis(f.pt_rowf, start[:, None].astype(jnp.int32), axis=1)[:, 0]
     # td + rolling-shutter row-delay shift of the anchor observation
-    # (`ProjectionTdFactor`'s TR·row/ROW term, SURVEY.md §A.3)
-    u_i = u_i - (state.td + f.rs_tr * rowf_i)[:, None] * v_i
+    # (`ProjectionTdFactor`'s (td − td_i) + TR·row/ROW terms, SURVEY.md §A.3)
+    td_ref_i = f.pt_td_ref[start]  # pairing-time td of the anchor frame
+    u_i = u_i - (state.td - td_ref_i + f.rs_tr * rowf_i)[:, None] * v_i
     depth = 1.0 / jnp.where(jnp.abs(state.inv_depth) > 1e-6, state.inv_depth, 1e-6)  # [MF]
     p_ci = jnp.concatenate([u_i, jnp.ones_like(u_i[:, :1])], axis=-1) * depth[:, None]  # [MF,3]
     q_i = state.q[start]  # [MF,4]
@@ -179,7 +188,8 @@ def point_residuals(state: WindowState, f: WindowFactors, focal: float) -> jnp.n
     z = p_cj[..., 2:3]
     z_safe = jnp.where(jnp.abs(z) < 1e-5, jnp.sign(z) * 1e-5 + (z == 0) * 1e-5, z)
     pred = p_cj[..., 0:2] / z_safe  # [MF,NW,2]
-    u_j = f.pt_obs - (state.td + f.rs_tr * f.pt_rowf)[..., None] * f.pt_vel  # td+RS shift
+    # (td − td_j) + RS shift: td_j = the td the IMU pairing used for frame j
+    u_j = f.pt_obs - (state.td - f.pt_td_ref[None, :] + f.rs_tr * f.pt_rowf)[..., None] * f.pt_vel
     r = pred - u_j  # [MF,NW,2]
 
     # masking: observed, not the anchor frame itself, feature active

@@ -64,6 +64,7 @@ def _visual_residual(state, pt, ln, focal):
         imu_sqrt_info=None, imu_dt=None, imu_ba=None, imu_bg=None,
         imu_valid=None, g=jnp.zeros(3, state.p.dtype),
         pt_obs=pt_obs, pt_vel=pt_vel,
+        pt_td_ref=jnp.zeros((pt_mask.shape[1],), state.p.dtype),
         pt_rowf=jnp.zeros(pt_mask.shape, state.p.dtype), rs_tr=jnp.zeros((), state.p.dtype),
         pt_mask=pt_mask, pt_start=pt_start,
         pt_valid=pt_valid,

@@ -474,7 +474,8 @@ def _burst_tail(seq, config, est, fp, fLines, feeder, k0, stride, B,
             ns.append(m)
         inp = (imgs, img_dts,
                jnp.asarray(np.stack(accs), dtype), jnp.asarray(np.stack(gyrs), dtype),
-               jnp.asarray(np.stack(dtss), dtype), jnp.asarray(ns, jnp.int32))
+               jnp.asarray(np.stack(dtss), dtype), jnp.asarray(ns, jnp.int32),
+               jnp.full((B,), td, dtype))  # pairing td of every chunk frame
         t_pack = _time.perf_counter()
         carry, outs = prog(consts, carry, inp)
         (p_b, q_b, kf_b, cost_b, fail_b, lt_b, np_b, td_b,

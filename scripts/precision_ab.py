@@ -118,6 +118,7 @@ def deployed_burst():
 def main():
     level = os.environ.get("PLSLAM_MATMUL_PRECISION", "highest")
     be_ms = backend_tick_ms()
+    print(f"# level={level} backend_tick_ms={be_ms:.2f}", flush=True)
     dep = deployed_burst()
     print(json.dumps({"level": level, "backend_tick_ms": round(be_ms, 2), **dep}))
 

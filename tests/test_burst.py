@@ -71,6 +71,9 @@ def test_burst_matches_streaming(dataset):
     # last emitted pose
     t_last, p_last, _ = est_b.latest_pose()
     np.testing.assert_allclose(p_last, ps_b[-1], atol=1e-9)
+    # PER-SLOT timestamps survive the handback (not a flattened copy):
+    # checkpoint/save right after a burst stores true per-frame stamps
+    np.testing.assert_allclose(est_b.timestamps, est_s.timestamps, atol=1e-9)
 
 
 @pytest.mark.slow
@@ -117,6 +120,74 @@ def test_burst_handback_with_imu_noise(tmp_path):
     post = [m for m in est_b.metrics if not m.get("burst") and "cost0" in m]
     if post:
         assert max(m["cost0"] for m in post[-4:]) < 1e4, post[-4:]
+    gt_t, gt_p = np.asarray(seq.frame_t), np.asarray(seq.gt_p)
+    ate_s = ate_rmse(ts_s, ps_s, gt_t, gt_p, align="yaw")
+    ate_b = ate_rmse(ts_b, ps_b, gt_t, gt_p, align="yaw")
+    assert abs(ate_b - ate_s) < 0.05, (ate_b, ate_s)
+    # handback state is field-for-field usable: per-slot timestamps are the
+    # true publish stamps (monotone non-decreasing window, newest == last
+    # published frame) — NOT a flattened newest-stamp copy
+    assert est_b.timestamps[-1] == pytest.approx(float(ts_b[-1]), abs=1e-9)
+    win = est_b.timestamps
+    assert np.all(np.diff(win) >= -1e-9), win
+    assert win[0] < win[-1], f"timestamps flattened: {win}"
+
+
+@pytest.mark.slow
+def test_burst_with_estimate_td(tmp_path):
+    """Burst + estimate_td: the chunk pairs IMU at the CHUNK-START td
+    (streaming re-pairs per frame — the documented deviation in burst.py's
+    list). This bounds the deviation: on a dataset with a real 12 ms camera
+    latency, burst and streaming must recover the same td and the same
+    trajectory. A 10 ms td drift across a 16-frame chunk shifts pairing by
+    ~2 IMU samples; the first-order velocity term in ProjectionTdFactor
+    absorbs it — this pins that claim with a measurement."""
+    from plslam.config import TemporalConfig
+
+    H, W, f = 480, 752, 460.0
+    td_true = 0.012
+    params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8, wiggle_amp=0.15,
+                                        excite_amp=0.1)
+    seq = synthetic.make_sequence(duration=14.0, n_points=500, n_lines=40,
+                                  seed=29, params=params)
+    cam = PinholeRadTan.create(f, f, W / 2, H / 2)
+    # images stamped 12 ms EARLY relative to capture → td_true = +12 ms in
+    # the estimator's t_img + td convention
+    render.write_euroc_dataset(seq, str(tmp_path), cam, H, W, max_frames=280,
+                               blob_sigma=3.0, style="textured",
+                               cam_stamp_offset=-td_true)
+    R_bc = np.array(quat_to_rot(seq.q_bc))
+    cfg = PLSlamConfig(
+        camera=CameraConfig(image_width=W, image_height=H, fx=f, fy=f,
+                            cx=W / 2, cy=H / 2, k1=0, k2=0, p1=0, p2=0),
+        tracker=TrackerConfig(max_cnt=100, min_dist=30, equalize=True, min_score=2e-3),
+        solver=SolverConfig(max_features=96, max_line_feats=24, dtype="float64",
+                            focal_length=f),
+        extrinsic=ExtrinsicConfig(0, tuple(R_bc.reshape(-1)), tuple(np.array(seq.p_bc))),
+        temporal=TemporalConfig(estimate_td=True, td=0.0),
+        loop=LoopConfig(loop_closure=False),
+    )
+    ts_s, ps_s, _, est_s, _ = run_euroc(str(tmp_path), cfg, use_lines=True)
+    ts_b, ps_b, _, est_b, _ = run_euroc(str(tmp_path), cfg, use_lines=True, burst=16)
+    assert est_s.initialized and est_b.initialized
+    n_burst = sum(1 for m in est_b.metrics if m.get("burst"))
+    assert n_burst >= 48, n_burst
+    np.testing.assert_allclose(ts_b, ts_s, atol=1e-9)
+
+    # both paths converge toward the injected latency (td information rides
+    # the FEJ prior, so recovery is a crawl bounded by prior stiffness —
+    # measured 6.2 ms @14 s / 7.8 ms @20 s from cold start; the historical
+    # bug this test guards: an ABSOLUTE td·vel residual shift double-counts
+    # the live re-pairing and equilibrates at td_true/2)
+    td_s, td_b = float(est_s.td), float(est_b.td)
+    assert 4e-3 < td_s < 15e-3, f"streaming td {td_s*1e3:.1f} ms vs {td_true*1e3} ms"
+    assert 4e-3 < td_b < 15e-3, f"burst td {td_b*1e3:.1f} ms vs {td_true*1e3} ms"
+    # the chunk-start-td pairing deviation is bounded: burst tracks
+    # streaming (measured 0.5 ms apart @20 s)
+    assert abs(td_b - td_s) < 1.5e-3, f"burst td {td_b*1e3:.2f} vs streaming {td_s*1e3:.2f} ms"
+
+    dp = np.linalg.norm(np.asarray(ps_b) - np.asarray(ps_s), axis=1)
+    assert np.median(dp) < 0.03, np.median(dp)
     gt_t, gt_p = np.asarray(seq.frame_t), np.asarray(seq.gt_p)
     ate_s = ate_rmse(ts_s, ps_s, gt_t, gt_p, align="yaw")
     ate_b = ate_rmse(ts_b, ps_b, gt_t, gt_p, align="yaw")

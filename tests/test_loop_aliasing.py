@@ -37,7 +37,12 @@ def _aliasing_map(seq, frac=0.8, seed=5):
 
 
 @pytest.mark.slow
-def test_aliased_rooms_zero_false_loops(tmp_path):
+@pytest.mark.parametrize("frac,blob_sigma", [
+    (0.8, 3.0),   # calibration regime (r3): strong texture, 80 % cloned
+    (0.9, 2.2),   # margin regime (VERDICT r4 weak #7): weaker texture,
+                  # 90 % cloned — tighter appearance margins both ways
+])
+def test_aliased_rooms_zero_false_loops(tmp_path, frac, blob_sigma):
     H, W, f = 480, 752, 460.0
     params = synthetic.TrajectoryParams(omega=0.5, z_omega=0.8)
     seq = synthetic.make_sequence(duration=14.0, n_points=500, n_lines=40, seed=23,
@@ -45,8 +50,9 @@ def test_aliased_rooms_zero_false_loops(tmp_path):
                                   acc_bias=0.05, gyr_bias=0.002)
     render.write_euroc_dataset(seq, str(tmp_path),
                                PinholeRadTan.create(f, f, W / 2, H / 2), H, W,
-                               max_frames=280, blob_sigma=3.0, style="textured",
-                               stamp_of=_aliasing_map(seq))
+                               max_frames=280, blob_sigma=blob_sigma,
+                               style="textured",
+                               stamp_of=_aliasing_map(seq, frac=frac))
 
     from plslam.utils.geometry import quat_to_rot
 
