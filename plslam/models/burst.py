@@ -117,7 +117,8 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
     NW = W + 1
     iters = cfg.max_num_iterations
     min_par = cfg.keyframe_parallax / cfg.focal_length
-    pt_tick = _pt_programs(*pt_statics, fe_dtype)[2]
+    pt_progs = _pt_programs(*pt_statics, fe_dtype)
+    pt_tick, pt_light = pt_progs[2], pt_progs[3]
     ln_tick = _ln_program(*ln_statics, fe_dtype)[1] if with_lines else None
     base_key = jax.random.PRNGKey(PT_KEY_SEED)
 
@@ -127,23 +128,26 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
 
         # --------------- frontends: track every camera frame -----------------
         # the stream publishes the FIRST frame of each stride group
-        # (`publish = k % stride == 0`); the later frames are tracked-only
+        # (`publish = k % stride == 0`); the later frames run the LIGHT
+        # track-only tick (pyramid + LK, no RANSAC/detect — the reference's
+        # non-PUB_THIS_FRAME work split), and the line pass runs on the
+        # published frame only (the reference's line node FREQ-throttles the
+        # whole LSD+LBD pass) — identical to the streaming loop
         pyr, pt_fe, ln_fe = carry.pyr, carry.pt_fe, carry.ln_fe
         pt_bundle = ln_out = None
         for s in range(stride):
             from plslam.models.frontend_points import dev_image
 
             img_s = dev_image(imgs[s], fe_dtype)  # uint8 H2D → f32 on device
-            key = jax.random.fold_in(base_key, carry.frame_i + s)
-            pyr, pt_fe, bundle_s = pt_tick(
-                cam, pyr, img_s, pt_fe, f_thresh, key, img_dts[s],
-                min_score, fov_mask)
-            if with_lines:
-                ln_fe, ln_out_s = ln_tick(cam, img_s, pyr[1], True, *ln_fe)
             if s == 0:
-                pt_bundle = bundle_s
+                key = jax.random.fold_in(base_key, carry.frame_i)
+                pyr, pt_fe, pt_bundle = pt_tick(
+                    cam, pyr, img_s, pt_fe, f_thresh, key, img_dts[0],
+                    min_score, fov_mask)
                 if with_lines:
-                    ln_out = ln_out_s
+                    ln_fe, ln_out = ln_tick(cam, img_s, pyr[1], True, *ln_fe)
+            else:
+                pyr, pt_fe = pt_light(cam, pyr, img_s, pt_fe, fov_mask)
         frame_i = carry.frame_i + stride
 
         # ------------- publish: table insertion at the newest column ---------

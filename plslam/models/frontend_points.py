@@ -477,15 +477,19 @@ class FrontendPoints:
                             self.fisheye, self._mask_img is not None, self.dtype)
 
     # --------------------------------------------------------------- ticking
-    def process(self, img, t: float, want_output: bool = True):
+    def process(self, img, t: float, want_output: bool = True,
+                light: bool = False):
         """One frame tick (`FeatureTracker::readImage`).
 
         want_output=True pulls ONE packed bundle and returns
         (ids, normalized pts, velocities, pixel uv) of valid features;
         want_output=False keeps everything on device and returns None (the
         FREQ-control non-published frames — SURVEY.md §2.1).
-        `img` may be a host array or an already-uploaded device array."""
-        prog, det_prog, _ = self._programs()
+        light=True (tracked-only frames) runs the pyramid+LK-only tick —
+        no RANSAC / detection / refill, the reference's non-PUB_THIS_FRAME
+        work split. `img` may be a host array or an already-uploaded device
+        array."""
+        prog, det_prog, _, _, light_prog = self._programs()
         # host images cross the tunnel as uint8 (4× less H2D — see to_u8);
         # already-on-device arrays (e.g. a shared pyramid level) pass through
         img_j = img if isinstance(img, jax.Array) else jnp.asarray(to_u8(img))
@@ -494,6 +498,14 @@ class FrontendPoints:
                         else jnp.zeros((1, 1), self.dtype))
             self.prev_pyr, self._state, bundle = det_prog(
                 self.cam, img_j, jnp.asarray(self.min_score, self.dtype), mask_arg)
+        elif light and not want_output:
+            mask_arg = (self._mask_img if self._mask_img is not None
+                        else jnp.zeros((1, 1), self.dtype))
+            self.prev_pyr, self._state = light_prog(
+                self.cam, self.prev_pyr, img_j, self._state, mask_arg)
+            self._frame_i += 1
+            self.prev_t = t
+            return None
         else:
             key = jax.random.fold_in(self._key, self._frame_i)
             dt = (t - self.prev_t) if self.prev_t is not None else 0.0
@@ -627,7 +639,35 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         bundle = pack(uv1, norm1, vel, valid1, ids1, cnt1)
         return tuple(pyr_new), (uv1, valid1, norm1, ids1, cnt1, next1), bundle
 
+    def tick_light(cam, pyr_prev, img_new, state, fov_mask):
+        """Tracked-only (non-published) frame: pyramid + LK + track upkeep.
+
+        The reference's FeatureTracker runs rejectWithF and
+        goodFeaturesToTrack only when PUB_THIS_FRAME (FREQ control); the
+        in-between frames just continue existing tracks. Skipping RANSAC +
+        detection + refill here matches that per-frame work split and saves
+        ~2 ms per tracked-only frame on-chip (outliers survive at most one
+        extra frame — the publish frame's RANSAC still gates what the
+        estimator sees)."""
+        img_new = dev_image(img_new, dtype)
+        uv0, valid0, norm0, ids0, cnt0, next_id = state
+        pyr_new = build_pyramid(img_new, levels=len(pyr_prev))
+        if use_pallas:
+            from plslam.ops.kernels.lk import lk_track_pallas
+
+            track_uv, status = lk_track_pallas(pyr_prev, pyr_new, uv0, valid0)
+        else:
+            track_uv, status = lk_track_fast(pyr_prev, pyr_new, uv0, valid0)
+        ok = status & valid0
+        if fisheye:
+            ok = ok & in_fov(track_uv, img_new.shape, fov_mask)
+        norm_t = lift(cam, track_uv)
+        cnt1 = jnp.where(ok, cnt0 + 1, 0)
+        ids1 = jnp.where(ok, ids0, -1)
+        return tuple(pyr_new), (track_uv, ok, norm_t, ids1, cnt1, next_id)
+
     prog = jax.jit(tick)
+    light_prog = jax.jit(tick_light)
 
     @jax.jit
     def det_prog(cam, img, min_score, fov_mask):
@@ -647,7 +687,7 @@ def _pt_programs(cell: int, N: int, use_pallas: bool, fisheye: bool,
         bundle = pack(det_uv, det_norm, jnp.zeros_like(det_uv), good, ids, cnt)
         return tuple(pyr), state, bundle
 
-    return prog, det_prog, tick
+    return prog, det_prog, tick, tick_light, light_prog
 
 
 class OutputHandle:

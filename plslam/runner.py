@@ -311,15 +311,17 @@ def run_euroc(
         # "defer": both frontends DISPATCH first, then their bundle pulls
         # overlap each other's device round trips (a fresh readback costs
         # ~25–50 ms through the TPU tunnel regardless of size)
-        out_h = fp.process(img, t, want_output="defer" if want_pts else False)
-        if fLines is not None:
-            # share the point frontend's device-resident pyramid: level 0 IS
-            # the uploaded image (no second 1.4 MB H2D), level 1 the line
-            # octave (same 5-tap blur + decimate)
+        out_h = fp.process(img, t, want_output="defer" if want_pts else False,
+                           light=not want_pts)
+        if fLines is not None and publish:
+            # the reference's line node FREQ-throttles the WHOLE LSD+LBD
+            # pass, so lines run on published frames only (matching spans
+            # publish→publish). Share the point frontend's device-resident
+            # pyramid: level 0 IS the uploaded image (no second 1.4 MB H2D),
+            # level 1 the line octave (same 5-tap blur + decimate)
             oct1 = fp.prev_pyr[1] if fp.prev_pyr is not None and len(fp.prev_pyr) > 1 else None
             img_dev = fp.prev_pyr[0] if fp.prev_pyr is not None else img
-            ln_h = fLines.process(img_dev, t, oct1=oct1,
-                                  want_output="defer" if publish else False)
+            ln_h = fLines.process(img_dev, t, oct1=oct1, want_output="defer")
         if viz is not None:
             ids, pts, vel, uv = out_h.get()
             viz.track_frame(img, uv, fp.track_cnt[fp.prev_valid])

@@ -11,13 +11,13 @@ guessed:
   * deployed run_euroc burst=16 on the cached 12-s rendered dataset
     (deployment shapes 96/24, f32): ATE + published fps.
 
-Run per level (fresh process per level — the jit caches key on the trace
--time precision, and the decorator reads PLSLAM_MATMUL_PRECISION at call
-time, so the env var set at launch governs every compiled program):
+All levels run in ONE process (one ~150 s tunnel claim): the decorator
+reads PLSLAM_MATMUL_PRECISION at call time and jax's jit cache keys on the
+`default_matmul_precision` trace context, so flipping the env var between
+phases yields separately-compiled executables per level.
 
-  for L in default high highest; do
-    PLSLAM_MATMUL_PRECISION=$L timeout 1800 python scripts/precision_ab.py
-  done
+  timeout 3600 python scripts/precision_ab.py            # all three levels
+  PLSLAM_MATMUL_PRECISION=high python scripts/precision_ab.py --one  # one
 """
 import json
 import os
@@ -115,12 +115,21 @@ def deployed_burst():
                 wall_s=round(wall, 2))
 
 
-def main():
-    level = os.environ.get("PLSLAM_MATMUL_PRECISION", "highest")
+def run_level(level):
+    os.environ["PLSLAM_MATMUL_PRECISION"] = level
     be_ms = backend_tick_ms()
     print(f"# level={level} backend_tick_ms={be_ms:.2f}", flush=True)
     dep = deployed_burst()
-    print(json.dumps({"level": level, "backend_tick_ms": round(be_ms, 2), **dep}))
+    print(json.dumps({"level": level, "backend_tick_ms": round(be_ms, 2), **dep}),
+          flush=True)
+
+
+def main():
+    if "--one" in sys.argv:
+        run_level(os.environ.get("PLSLAM_MATMUL_PRECISION", "highest"))
+        return
+    for level in ("default", "high", "highest"):
+        run_level(level)
 
 
 if __name__ == "__main__":
