@@ -263,61 +263,60 @@ def _burst_program(cfg, pt_statics: tuple, ln_statics: tuple, stride: int,
         fail = carry.fail | fail_now
 
         # ------------------------------ slides --------------------------------
-        roll1 = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
-        st_old = st_out._replace(
-            p=roll1(st_out.p), q=roll1(st_out.q), v=roll1(st_out.v),
-            ba=roll1(st_out.ba), bg=roll1(st_out.bg))
-        p_wc, q_wc = cam_poses(st_out)
-        ptab_old = dtab.pt_slide_old(ptab, p_wc[0], q_wc[0], p_wc[1], q_wc[1])
-        ltab_old = dtab.ln_slide_old(ltab)
-        imu_old = {k: jnp.concatenate([v[1:], v[-1:]], axis=0)
-                   for k, v in imu_f.items()}
+        # ONE branch executes per step (lax.cond, not compute-both-and-select:
+        # the slide of the ~35-leaf st/ptab/ltab/imu carry is pure data
+        # movement, and the profile attributed ~10 ms/published frame to the
+        # table/slide/select plumbing — scripts/profile_burst.py ablations)
+        def _slide_old():
+            roll1 = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+            st_old = st_out._replace(
+                p=roll1(st_out.p), q=roll1(st_out.q), v=roll1(st_out.v),
+                ba=roll1(st_out.ba), bg=roll1(st_out.bg))
+            p_wc, q_wc = cam_poses(st_out)
+            ptab_old = dtab.pt_slide_old(ptab, p_wc[0], q_wc[0], p_wc[1], q_wc[1])
+            ltab_old = dtab.ln_slide_old(ltab)
+            imu_old = {k: jnp.concatenate([v[1:], v[-1:]], axis=0)
+                       for k, v in imu_f.items()}
+            td_pair_old = jnp.concatenate([td_pair[1:], td_pair[-1:]])
+            return (st_old, ptab_old, ltab_old, imu_old,
+                    acc, gyr, dts, n_imu, td_pair_old)
 
-        copy_new = lambda a: a.at[W - 1].set(a[W])
-        st_new = st_out._replace(
-            p=copy_new(st_out.p), q=copy_new(st_out.q), v=copy_new(st_out.v),
-            ba=copy_new(st_out.ba), bg=copy_new(st_out.bg))
-        # merge raw samples: interval (W-2→W-1) ⊕ (W-1→W)  — ImuBuffer.merged
-        i1 = jnp.arange(IMU_PAD + 1)
-        n1 = carry.raw_n
-        take2 = jnp.clip(i1 - n1, 0, IMU_PAD)
-        acc_m = jnp.where((i1 <= n1)[:, None], carry.raw_acc, acc[take2])
-        gyr_m = jnp.where((i1 <= n1)[:, None], carry.raw_gyr, gyr[take2])
-        i0 = jnp.arange(IMU_PAD)
-        dts_m = jnp.where(i0 < n1, carry.raw_dts, dts[jnp.clip(i0 - n1, 0, IMU_PAD - 1)])
-        n_m = jnp.minimum(n1 + n_imu, IMU_PAD)
-        # the 512-step merged re-preintegration only runs on SECOND_NEW steps
-        # (lax.cond — a real conditional on TPU; keyframe steps skip it)
-        mf = jax.lax.cond(
-            kf,
-            lambda: npre,  # unused in the keyframe-selected carry
-            lambda: _pre_fields(imu_ops.preintegrate(
-                acc_m, gyr_m, dts_m, st_new.ba[W - 2], st_new.bg[W - 2], noise)),
-        )
-        imu_new = dict(imu_f)
-        for k in mf:
-            imu_new[k] = imu_new[k].at[W - 2].set(mf[k])
-        imu_new["valid"] = imu_new["valid"].at[W - 2].set(1.0)
-        ptab_new = dtab.pt_slide_new(ptab)
-        ltab_new = dtab.ln_slide_new(ltab)
+        def _slide_new():
+            copy_new = lambda a: a.at[W - 1].set(a[W])
+            st_new = st_out._replace(
+                p=copy_new(st_out.p), q=copy_new(st_out.q), v=copy_new(st_out.v),
+                ba=copy_new(st_out.ba), bg=copy_new(st_out.bg))
+            # merge raw samples: (W-2→W-1) ⊕ (W-1→W) — ImuBuffer.merged —
+            # and re-preintegrate the merged interval (runs ONLY on
+            # SECOND_NEW steps now that the whole slide is branch-selected)
+            i1 = jnp.arange(IMU_PAD + 1)
+            n1 = carry.raw_n
+            take2 = jnp.clip(i1 - n1, 0, IMU_PAD)
+            acc_m = jnp.where((i1 <= n1)[:, None], carry.raw_acc, acc[take2])
+            gyr_m = jnp.where((i1 <= n1)[:, None], carry.raw_gyr, gyr[take2])
+            i0 = jnp.arange(IMU_PAD)
+            dts_m = jnp.where(i0 < n1, carry.raw_dts,
+                              dts[jnp.clip(i0 - n1, 0, IMU_PAD - 1)])
+            n_m = jnp.minimum(n1 + n_imu, IMU_PAD)
+            mf = _pre_fields(imu_ops.preintegrate(
+                acc_m, gyr_m, dts_m, st_new.ba[W - 2], st_new.bg[W - 2], noise))
+            imu_new = dict(imu_f)
+            for k in mf:
+                imu_new[k] = imu_new[k].at[W - 2].set(mf[k])
+            imu_new["valid"] = imu_new["valid"].at[W - 2].set(1.0)
+            ptab_new = dtab.pt_slide_new(ptab)
+            ltab_new = dtab.ln_slide_new(ltab)
+            td_pair_new = td_pair.at[W - 1].set(td_pair[W])
+            return (st_new, ptab_new, ltab_new, imu_new,
+                    acc_m, gyr_m, dts_m, n_m, td_pair_new)
 
-        # td_pair slides exactly like the timestamps array
-        td_pair_old = jnp.concatenate([td_pair[1:], td_pair[-1:]])
-        td_pair_new = td_pair.at[W - 1].set(td_pair[W])
-        sel = lambda a, b: _tree_where(kf, a, b)
+        (st_s, ptab_s, ltab_s, imu_s, racc_s, rgyr_s, rdts_s, rn_s,
+         td_pair_s) = jax.lax.cond(kf, _slide_old, _slide_new)
         new_carry = BurstCarry(
             pt_fe=pt_fe, pyr=pyr, ln_fe=ln_fe, frame_i=frame_i,
-            st=sel(st_old, st_new),
-            ptab=sel(ptab_old, ptab_new),
-            ltab=sel(ltab_old, ltab_new),
-            prior=prior_new,
-            imu=jax.tree.map(lambda a, b: _tree_where(kf, a, b), imu_old, imu_new),
-            raw_acc=jnp.where(kf, acc, acc_m),
-            raw_gyr=jnp.where(kf, gyr, gyr_m),
-            raw_dts=jnp.where(kf, dts, dts_m),
-            raw_n=jnp.where(kf, n_imu, n_m),
-            td_pair=jnp.where(kf, td_pair_old, td_pair_new),
-            fail=fail,
+            st=st_s, ptab=ptab_s, ltab=ltab_s, prior=prior_new, imu=imu_s,
+            raw_acc=racc_s, raw_gyr=rgyr_s, raw_dts=rdts_s, raw_n=rn_s,
+            td_pair=td_pair_s, fail=fail,
         )
         # sticky failure: freeze the estimator state, keep the frontends
         # ticking (streaming clears + re-initializes on the host — the chunk

@@ -222,7 +222,173 @@ def real_chunk_split():
     )
 
 
+def ablation_no_solve():
+    """Re-run the real chunk with backend_tick stubbed to identity (state
+    passes through; empty prior/stats of the right pytree shapes): the
+    remaining scan time is frontends + preintegration + table ops + slides +
+    plumbing + the chunk readback; full − this = the in-scan solve+marg."""
+    import jax.numpy as jnp
+
+    from plslam.models import burst as burst_mod
+    from plslam.models import marginalization as marg
+    from plslam.models.solver import SolveStats
+
+    orig = burst_mod.backend_tick
+
+    def stub(st, f, solvable, tri_need, fb4, lneed, ln_active2,
+             lay, cfg, ee, etd, iters, marg_mode, marg_old_flag=None):
+        dtype = st.p.dtype
+        z = jnp.zeros((), dtype)
+        prior = marg.Prior(
+            J=jnp.zeros((lay.dim_cam, lay.dim_cam), dtype),
+            r0=jnp.zeros((lay.dim_cam,), dtype), valid=jnp.ones((), dtype),
+            p=st.p, q=st.q, v=st.v, ba=st.ba, bg=st.bg,
+            p_bc=st.p_bc, q_bc=st.q_bc, td=st.td)
+        stats = SolveStats(cost0=z, cost=z, lam=z, accepted=z,
+                           cost_robust0=z, cost_robust=z, groups=())
+        aux = dict(commit=jnp.zeros_like(solvable),
+                   lcommit=jnp.zeros_like(lneed),
+                   pt_valid=solvable, ln_solved=ln_active2,
+                   pt_err=jnp.zeros_like(solvable),
+                   ln_err=jnp.zeros_like(lneed),
+                   p_w=jnp.zeros((lay.max_f, 3), dtype))
+        return st, stats, prior, aux
+
+    burst_mod.backend_tick = stub
+    burst_mod._burst_program.cache_clear()
+    try:
+        out = real_chunk_split()
+    finally:
+        burst_mod.backend_tick = orig
+        burst_mod._burst_program.cache_clear()
+    return out
+
+
+def ablation_no_tables():
+    """Solve stubbed AND device-table ops stubbed to identity: what remains
+    is frontends + preint + window-state slides/selects + scan plumbing +
+    readback. no_solve − this = the table ops' in-scan cost."""
+    import jax.numpy as jnp
+
+    from plslam.models import burst as burst_mod
+    from plslam.models import device_table as dtab
+
+    names = ["pt_add_frame", "ln_add_frame", "pt_parallax_keyframe",
+             "_pt_clear_where", "_ln_clear_where", "pt_slide_old",
+             "ln_slide_old", "pt_slide_new", "ln_slide_new"]
+    orig = {n: getattr(dtab, n) for n in names}
+    # kf must stay DATA-DEPENDENT (a constant would let XLA prune the whole
+    # second-new branch of every carry select, overstating the table cost)
+    dtab.pt_add_frame = lambda ptab, W, ids, norm, vel, valid: ptab
+    dtab.ln_add_frame = lambda ltab, W, ids, obs, valid: ltab
+    dtab.pt_parallax_keyframe = (
+        lambda ptab, W, mp: jnp.sum(ptab.obs) < jnp.asarray(1e30, ptab.obs.dtype))
+    dtab._pt_clear_where = lambda ptab, drop: ptab
+    dtab._ln_clear_where = lambda ltab, drop: ltab
+    dtab.pt_slide_old = lambda ptab, *a: ptab
+    dtab.ln_slide_old = lambda ltab: ltab
+    dtab.pt_slide_new = lambda ptab: ptab
+    dtab.ln_slide_new = lambda ltab: ltab
+    burst_mod._burst_program.cache_clear()
+    try:
+        out = ablation_no_solve()
+    finally:
+        for n, f in orig.items():
+            setattr(dtab, n, f)
+        burst_mod._burst_program.cache_clear()
+    return out
+
+
+def ablation_no_frontends():
+    """Stub the UN-JITTED tick bodies the burst scan composes (indices [2]/[3]
+    of _pt_programs, [1] of _ln_program) with passthroughs that fabricate the
+    bundles from carried state — the streaming prefix keeps the real JITTED
+    programs ([0]/[1]/[4]), so init/handoff semantics are untouched and the
+    burst stays engaged (same ids every frame → parallax 0 → all SECOND_NEW).
+    full − this = the in-scan frontend cost (2 pyramids + LK×2 + RANSAC +
+    detect + Hough/LBD/match)."""
+    import jax.numpy as jnp
+
+    from plslam.models import burst as burst_mod
+    from plslam.models import frontend_lines as flm
+    from plslam.models import frontend_points as fpm
+    from plslam.ops.cameras import lift
+
+    orig_pt = fpm._pt_programs
+    orig_ln = flm._ln_program
+
+    def patched_pt(*a):
+        real = orig_pt(*a)
+
+        def fake_tick(cam, pyr_prev, img_new, state, f_thresh, key, dt,
+                      min_score, fov_mask):
+            uv, valid, norm, ids, cnt, next_id = state
+            m = jnp.sum(img_new[::64, ::64]).astype(norm.dtype) * 1e-12
+            norm = norm + m  # data dependence on the image upload
+            bf = jnp.concatenate([
+                uv, norm, jnp.zeros_like(uv),
+                valid.astype(norm.dtype)[:, None],
+                cnt.astype(norm.dtype)[:, None]], axis=1)
+            return pyr_prev, (uv, valid, norm, ids, cnt, next_id), (bf, ids)
+
+        def fake_light(cam, pyr_prev, img_new, state, fov_mask):
+            uv, valid, norm, ids, cnt, next_id = state
+            m = jnp.sum(img_new[::64, ::64]).astype(norm.dtype) * 1e-12
+            return pyr_prev, (uv, valid, norm + m, ids, cnt, next_id)
+
+        return (real[0], real[1], fake_tick, fake_light, real[4])
+
+    def patched_ln(*a):
+        real = orig_ln(*a)
+
+        def fake_tick(cam, img, oct1, have_oct1, segs, desc, valid_f, ids,
+                      next_id):
+            m = jnp.sum(img[::64, ::64]).astype(segs.dtype) * 1e-12
+            segs = segs + m
+            lb = jnp.concatenate([lift(cam, segs[:, 0:2]),
+                                  lift(cam, segs[:, 2:4]),
+                                  valid_f[:, None]], axis=1)
+            return (segs, desc, valid_f, ids, next_id), (lb, ids)
+
+        return (real[0], fake_tick)
+
+    fpm._pt_programs = patched_pt
+    flm._ln_program = patched_ln
+    burst_mod._burst_program.cache_clear()
+    try:
+        out = real_chunk_split()
+    finally:
+        fpm._pt_programs = orig_pt
+        flm._ln_program = orig_ln
+        burst_mod._burst_program.cache_clear()
+    return out
+
+
 def main():
+    if "--full-only" in sys.argv:
+        print(json.dumps(real_chunk_split()))
+        return
+    if "--ablate-frontends" in sys.argv:
+        abl = ablation_no_frontends()
+        print("# no_frontends:", json.dumps(abl))
+        return
+    if "--ablate-tables" in sys.argv:
+        abl2 = ablation_no_tables()
+        print("# no_solve_no_tables:", json.dumps(abl2))
+        return
+    if "--ablate-only" in sys.argv:
+        real = real_chunk_split()
+        print("# full:", json.dumps(real))
+        abl = ablation_no_solve()
+        print("# no_solve:", json.dumps(abl))
+        if real.get("scan_ms_per_frame") and abl.get("scan_ms_per_frame"):
+            print(json.dumps({
+                "full_ms_per_frame": real["scan_ms_per_frame"],
+                "no_solve_ms_per_frame": abl["scan_ms_per_frame"],
+                "solve_marg_in_scan_ms": round(
+                    real["scan_ms_per_frame"] - abl["scan_ms_per_frame"], 2),
+            }))
+        return
     comp = component_times()
     print("# standalone component programs (deployment shapes, median-of-40):")
     for k, v in comp.items():
