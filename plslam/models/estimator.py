@@ -131,6 +131,10 @@ class Estimator:
         self.prior: Optional[marg.Prior] = None
         self.last_acc = None
         self.last_gyr = None
+        # solves since the last (re-)initialization: the post-init health
+        # gate in _failure_detection only watches the first few solves
+        self.solves_since_init = 0
+        self._init_bad_solves = 0
         # observability log persists across failure-triggered re-inits (the
         # failure entry itself must stay visible to monitoring)
         self.metrics: list[dict] = getattr(self, "metrics", [])
@@ -295,6 +299,7 @@ class Estimator:
         if not self.initialized:
             if oracle_state is not None:
                 self.initialized = True
+                self.solves_since_init = 0
             else:
                 from plslam.models import initializer
 
@@ -303,6 +308,7 @@ class Estimator:
                 # `initialStructure` requires ESTIMATE_EXTRINSIC != 2)
                 if self.ex_calibrated and initializer.try_initialize(self):
                     self.initialized = True
+                    self.solves_since_init = 0
                 else:
                     self._slide_uninitialized()
                     self.metrics.append(m)
@@ -334,6 +340,7 @@ class Estimator:
         m = pend["m"]
         self._pending_prior = pend["prior"] if pend["mode"] != "none" else None
         m.update(self._finish_solve(pend["bundle"], pend["relo"]))
+        self.solves_since_init += 1
         if self._failure_detection(m):
             m["failure"] = True
             self.metrics.append(m)
@@ -622,6 +629,24 @@ class Estimator:
         nw = self.cfg.window_size
         if m is not None and m.get("long_tracked", 99) < 2:
             return True
+        # post-init health gate: a bad visual-inertial alignment (degenerate
+        # init geometry — rotation-dominant parallax leaves scale nearly
+        # unobservable and the alignment's free velocities absorb the
+        # residual, so the alignment's own gates pass) shows up as a large
+        # PERSISTENT window-solve cost. Measured on rendered EuRoC-class
+        # noise: healthy inits solve at ≤0.9 cost/point over the first
+        # solves (one-solve transients higher), a scale-8× init holds ≥3.5
+        # on EVERY solve — and the bad equilibrium persists (f64 identical),
+        # so only a restart fixes it. Requiring 3 consecutive bad solves
+        # rejects the bad equilibrium without tripping on transients;
+        # clearState + re-init a few frames later recovers (the window
+        # geometry changes).
+        if (m is not None and self.solves_since_init <= 8
+                and m.get("cost") is not None):
+            bad = m["cost"] / max(m.get("n_pts", 0), 1) > 2.0
+            self._init_bad_solves = (self._init_bad_solves + 1) if bad else 0
+            if self._init_bad_solves >= 3:
+                return True
         if np.linalg.norm(self.ba[nw]) > 2.5 or np.linalg.norm(self.bg[nw]) > 1.0:
             return True
         dp = self.p[nw] - self.p[nw - 1]

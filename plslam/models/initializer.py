@@ -40,6 +40,14 @@ from plslam.utils.device import highest_matmul_precision
 
 MIN_CORRESPONDENCES = 20
 MIN_PARALLAX_INIT = 30.0 / 460.0  # 30 px-equivalent in normalized coords
+# physical sanity ceiling on the aligned velocities (m/s). A degenerate init
+# window (rotation-dominant parallax) leaves scale nearly unobservable; the
+# alignment's free per-frame velocities then absorb the residual and a
+# wildly wrong scale passes every algebraic gate (measured: an s≈8× init
+# with residual 5e-4, identical in f64 — seeds study, round 5). Wrong scale
+# shows up directly as implausible metric velocities (≈8× the true ~1 m/s),
+# so reject and retry on the next frame — EuRoC-class platforms fly ≤2.3 m/s
+MAX_INIT_VELOCITY = 3.0
 
 
 # --------------------------------------------------------------------- 8-point
@@ -523,6 +531,8 @@ def try_initialize(est) -> bool:
         if out is None:
             continue
         g_cl_c, s_c, vels_c = out
+        if np.median(np.linalg.norm(vels_c, axis=1)) > MAX_INIT_VELOCITY:
+            continue  # implausible metric scale — see MAX_INIT_VELOCITY
         score = _alignment_residual(est, p_c, q_bl, g_cl_c, s_c, vels_c, pres_h)
         if ci == 0:
             score = score / PREFER_REFINED_FACTOR  # refined must win decisively

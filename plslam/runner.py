@@ -264,7 +264,10 @@ def run_euroc(
         # refined edge) keeps the loop in streaming until it resolves ----
         if (burst_ok and k % stride == 0 and est.initialized
                 and est.prior is not None and est.relo is None
-                and relo_edge["ij"] is None):
+                and relo_edge["ij"] is None
+                # the post-init health gate must see the first solves in
+                # streaming (failure → clearState + re-init there)
+                and getattr(est, "solves_since_init", 99) > 6):
             if deferred_ctx is not None:
                 _emit(deferred_ctx)
                 deferred_ctx = None
